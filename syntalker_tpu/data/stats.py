@@ -1,0 +1,79 @@
+"""Normalization statistics for BEAT2 pose features.
+
+Capability parity with the reference's shipped ``mean_std/*.npy`` handling
+(diffusion_rvqvae_trainer.py:188-226): the 330-dim rot6d mean/std is sliced
+into the per-body-part sub-vectors used to normalize each RVQ-VAE's input,
+plus the 3-dim translation-velocity stats.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from pathlib import Path
+
+import numpy as np
+
+from syntalker_tpu.data import joints as J
+
+
+@dataclasses.dataclass(frozen=True)
+class PoseStats:
+    mean_full: np.ndarray  # (330,)
+    std_full: np.ndarray  # (330,)
+    trans_mean: np.ndarray  # (3,)
+    trans_std: np.ndarray  # (3,)
+
+    @property
+    def mean_upper(self):
+        return self.mean_full[J.UPPER_6D_IDX]
+
+    @property
+    def std_upper(self):
+        return self.std_full[J.UPPER_6D_IDX]
+
+    @property
+    def mean_hands(self):
+        return self.mean_full[J.HANDS_6D_IDX]
+
+    @property
+    def std_hands(self):
+        return self.std_full[J.HANDS_6D_IDX]
+
+    @property
+    def mean_lower(self):
+        return self.mean_full[J.LOWER_6D_IDX]
+
+    @property
+    def std_lower(self):
+        return self.std_full[J.LOWER_6D_IDX]
+
+    def normalize_part(self, x, part: str):
+        mean = getattr(self, f"mean_{part}")
+        std = getattr(self, f"std_{part}")
+        return (x - mean) / std
+
+    def denormalize_part(self, x, part: str):
+        mean = getattr(self, f"mean_{part}")
+        std = getattr(self, f"std_{part}")
+        return x * std + mean
+
+
+def load_pose_stats(mean_std_dir: str | Path) -> PoseStats:
+    """Load the shipped beatx_2_330 / beatx_2_trans stats."""
+    d = Path(mean_std_dir)
+    return PoseStats(
+        mean_full=np.load(d / "beatx_2_330_mean.npy").astype(np.float32),
+        std_full=np.load(d / "beatx_2_330_std.npy").astype(np.float32),
+        trans_mean=np.load(d / "beatx_2_trans_mean.npy").astype(np.float32),
+        trans_std=np.load(d / "beatx_2_trans_std.npy").astype(np.float32),
+    )
+
+
+def identity_pose_stats() -> PoseStats:
+    """Unit stats for tests / unnormalized runs."""
+    return PoseStats(
+        mean_full=np.zeros(J.ROT6D_DIM, np.float32),
+        std_full=np.ones(J.ROT6D_DIM, np.float32),
+        trans_mean=np.zeros(3, np.float32),
+        trans_std=np.ones(3, np.float32),
+    )

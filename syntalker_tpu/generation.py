@@ -1,0 +1,249 @@
+"""End-to-end audio→motion generation: windowed autoregressive outpainting.
+
+Capability parity with the reference's ``_g_test`` window loop
+(diffusion_rvqvae_trainer.py:359-541): clips longer than ``pose_length``
+(128 frames) are sampled in overlapping windows; each window is seeded with
+the previous window's last ``pre_frames`` (4) latent frames, then the
+windows are stitched (first window whole, later windows minus the seed
+overlap), scaled by ``vqvae_latent_scale`` (5), snapped through each
+body-part RVQ-VAE (``latent2origin``), denormalized, the lower-body
+translation velocity integrated by cumsum, and everything scattered back to
+165-dof axis-angle with the jaw copied from the target.
+
+TPU-first structure (SURVEY.md §5 long-context):
+
+- the window loop is a ``lax.scan`` carrying the seed latent — windows are
+  precomputed host-side into a stacked (W, ...) axis so every shape is
+  static,
+- inside each window the denoise chain is itself a ``lax.scan`` over
+  timesteps (diffusion.core), so the whole clip generation is ONE compiled
+  XLA program,
+- conditioning (audio conv encoder + word embeddings) is computed once per
+  window, not once per NFE step.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from syntalker_tpu.data import joints as J
+from syntalker_tpu.diffusion.core import ddim_sample, ddpm_sample
+from syntalker_tpu.diffusion.schedule import DiffusionParams
+from syntalker_tpu.models.denoiser import MDM, Conditioning
+from syntalker_tpu.ops import rotations as rot
+
+
+@dataclasses.dataclass(frozen=True)
+class WindowPlan:
+    """Static host-side description of the window decomposition
+    (mirrors the arithmetic at diffusion_rvqvae_trainer.py:413-416)."""
+
+    n_frames: int  # usable motion frames (trimmed)
+    pose_length: int  # frames per window (128)
+    pre_frames: int  # latent seed frames (4)
+    squeeze: int  # temporal downscale (4)
+    num_windows: int
+    round_l: int  # fresh frames per window = pose_length - pre*squeeze
+
+    @property
+    def latent_window(self) -> int:
+        return self.pose_length // self.squeeze  # 32
+
+    @property
+    def out_latent_frames(self) -> int:
+        lw = self.latent_window
+        fresh = lw - self.pre_frames
+        return lw + (self.num_windows - 1) * fresh
+
+
+def plan_windows(
+    n_frames: int, *, pose_length: int = 128, pre_frames: int = 4, squeeze: int = 4
+) -> WindowPlan:
+    n = n_frames - n_frames % (2 * squeeze)  # trim to %8 (trainer :375-385)
+    seed_span = pre_frames * squeeze  # 16 frames
+    round_l = pose_length - seed_span  # 112
+    num = (n - seed_span) // round_l
+    if num < 1:
+        raise ValueError(f"clip too short: {n_frames} frames < {pose_length}")
+    return WindowPlan(
+        n_frames=n,
+        pose_length=pose_length,
+        pre_frames=pre_frames,
+        squeeze=squeeze,
+        num_windows=num,
+        round_l=round_l,
+    )
+
+
+def window_audio(audio: np.ndarray, plan: WindowPlan, sr: int = 16000, fps: int = 30):
+    """Stack per-window raw-audio feature slices: (B, S, C) -> (W, B, S_w, C).
+
+    Slice arithmetic mirrors trainer :420-422 (integer samples-per-frame).
+    """
+    spf = sr // fps  # 533
+    wlen = spf * plan.pose_length
+    out = []
+    for i in range(plan.num_windows):
+        start = i * spf * plan.round_l
+        sl = audio[:, start : start + wlen]
+        if sl.shape[1] < wlen:  # zero-pad the tail window
+            pad = wlen - sl.shape[1]
+            sl = np.pad(sl, ((0, 0), (0, pad)) + ((0, 0),) * (audio.ndim - 2))
+        out.append(sl)
+    return np.stack(out)
+
+
+def window_words(word: np.ndarray, plan: WindowPlan):
+    """(B, F) -> (W, B, pose_length) word-id windows (trainer :420)."""
+    out = []
+    for i in range(plan.num_windows):
+        start = i * plan.round_l
+        sl = word[:, start : start + plan.pose_length]
+        if sl.shape[1] < plan.pose_length:
+            sl = np.pad(sl, ((0, 0), (0, plan.pose_length - sl.shape[1])))
+        out.append(sl)
+    return np.stack(out)
+
+
+def sample_windows(
+    mdm: MDM,
+    mdm_params,
+    diffusion: DiffusionParams,
+    plan: WindowPlan,
+    audio_windows: jax.Array,  # (W, B, S_w, 2)
+    word_windows: jax.Array,  # (W, B, pose_length)
+    init_seed: jax.Array,  # (B, pre_frames, 1536) from GT latents (trainer :429)
+    rng: jax.Array,
+    *,
+    sampler: str = "ddpm",
+    prompts: Optional[Dict[str, jax.Array]] = None,
+    guidance: Optional[dict] = None,
+) -> jax.Array:
+    """Autoregressive windowed sampling; returns stitched latents
+    (B, out_latent_frames, 1536) in the model's (÷latent_scale) space."""
+    b = audio_windows.shape[1]
+    lw = plan.latent_window
+    shape = (b, lw, J.LATENT_DIM)
+    sample_fn = {"ddpm": ddpm_sample, "ddim": ddim_sample}[sampler]
+
+    def denoise_fn(x, t, cond):
+        return mdm.apply({"params": mdm_params}, x, t, cond, method="denoise")
+
+    def encode(audio, word, seed, *, uncond_audio=False, prompt=None, uncond_prompt=False):
+        return mdm.apply(
+            {"params": mdm_params},
+            audio,
+            word,
+            seed,
+            prompt=prompt,
+            uncond_audio=uncond_audio,
+            uncond_prompt=uncond_prompt,
+            method="encode_cond",
+        )
+
+    use_cfg = prompts is not None
+    guidance = guidance or {}
+
+    def body(carry, xs):
+        seed, key = carry
+        audio, word = xs
+        key, k_samp = jax.random.split(key)
+
+        if not use_cfg:
+            cond = encode(audio, word, seed)
+            model_fn = lambda x, t: denoise_fn(x, t, cond)  # noqa: E731
+        else:
+            from syntalker_tpu.diffusion.cfg import make_bodypart_cfg_model_fn
+
+            cond_audio = encode(audio, word, seed, uncond_prompt=True)
+            uncond = encode(audio, word, seed, uncond_audio=True, uncond_prompt=True)
+            part_conds = {}
+            for name in J.LATENT_SLICES:
+                p = prompts.get(name) if prompts else None
+                part_conds[name] = (
+                    None
+                    if p is None
+                    else encode(audio, word, seed, uncond_audio=True, prompt=p)
+                )
+            model_fn = make_bodypart_cfg_model_fn(
+                denoise_fn,
+                cond_audio,
+                uncond,
+                part_conds,
+                audio_scale=guidance.get("audio_scale", 1.0),
+                prompt_scale=guidance.get("prompt_scale", 4.0),
+            )
+
+        x = sample_fn(diffusion, model_fn, shape, k_samp)
+        new_seed = x[:, -plan.pre_frames :, :]
+        return (new_seed, key), x
+
+    (_, _), windows = jax.lax.scan(
+        body, (init_seed, rng), (audio_windows, word_windows)
+    )
+    # Stitch: first window whole, later windows minus the seed overlap
+    # (trainer :467-474). Static shapes: windows is (W, B, lw, 1536).
+    first = windows[0]
+    rest = windows[1:, :, plan.pre_frames :, :]
+    rest = jnp.moveaxis(rest, 0, 1).reshape(b, -1, J.LATENT_DIM)
+    return jnp.concatenate([first, rest], axis=1)
+
+
+def decode_latents(
+    latents: jax.Array,  # (B, T_lat, 1536) model-space (÷scale)
+    *,
+    rvq_modules: dict,  # part -> (module, params, state)
+    stats,
+    latent_scale: float = 5.0,
+    use_trans: bool = True,
+):
+    """Latents -> per-part pose features -> full-body rot6d + translation.
+
+    Mirrors trainer :476-531: ×latent_scale, RVQ snap+decode per part,
+    denormalize, integrate lower-body translation velocity, scatter parts
+    into the 330-dim rot6d vector (jaw/eyes remain zero for the caller to
+    fill), and return axis-angle too.
+    """
+    z = latents * latent_scale
+    parts = {}
+    for name, (lo, hi) in J.LATENT_SLICES.items():
+        module, params, state = rvq_modules[name]
+        parts[name] = module.apply(
+            {"params": params}, z[..., lo:hi], state, method="latent2origin"
+        )
+
+    rec_upper = stats.denormalize_part(parts["upper"], "upper")
+    rec_hands = stats.denormalize_part(parts["hands"], "hands")
+    lower = parts["lower"]
+    rec_trans = None
+    if use_trans:
+        trans_v = lower[..., -3:] * stats.trans_std + stats.trans_mean
+        rec_trans = jnp.cumsum(trans_v, axis=-2)
+        # y (height) stays a direct prediction, not integrated (trainer :490)
+        rec_trans = rec_trans.at[..., 1].set(trans_v[..., 1])
+        lower = lower[..., :-3]
+    rec_lower = stats.denormalize_part(lower, "lower")
+
+    b, t = rec_upper.shape[:2]
+    rot6d_full = jnp.zeros((b, t, J.ROT6D_DIM), latents.dtype)
+    rot6d_full = rot6d_full.at[..., J.UPPER_6D_IDX].set(rec_upper)
+    rot6d_full = rot6d_full.at[..., J.HANDS_6D_IDX].set(rec_hands)
+    rot6d_full = rot6d_full.at[..., J.LOWER_6D_IDX].set(rec_lower)
+
+    # rot6d -> axis-angle for the SMPL-X / rendering consumers
+    m = rot.rotation_6d_to_matrix(rot6d_full.reshape(b, t, J.NUM_JOINTS, 6))
+    aa = rot.matrix_to_axis_angle(m).reshape(b, t, J.AXIS_ANGLE_DIM)
+    # re-orthonormalized rot6d (reference round-trips :528-531)
+    rot6d_clean = rot.matrix_to_rotation_6d(m).reshape(b, t, J.ROT6D_DIM)
+
+    return {
+        "rot6d": rot6d_clean,
+        "axis_angle": aa,
+        "trans": rec_trans,
+        "parts": {"upper": rec_upper, "hands": rec_hands, "lower": rec_lower},
+    }

@@ -1,0 +1,162 @@
+"""MDM denoiser tests: shapes, conditioning masks, RoPE, split cond/denoise."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from syntalker_tpu.models.denoiser import (
+    MDM,
+    MDMConfig,
+    WavEncoder,
+    apply_rope,
+    create_mdm,
+    rope_angles,
+)
+
+TINY = MDMConfig(
+    latent_total_dim=48,
+    latent_dim=32,
+    ff_size=64,
+    num_layers=2,
+    num_heads=2,
+    rope_heads=4,
+    audio_feat_dim=16,
+    word_feat_dim=16,
+    word_embed_dim=8,
+    vocab_size=50,
+    n_seed=4,
+    squeeze_scale=4,
+)
+
+FRAMES = 32
+SAMPLES = 16000 // 30 * FRAMES
+
+
+def make_inputs(key, b=2, cfg=TINY, frames=FRAMES):
+    ks = jax.random.split(key, 4)
+    t_latent = frames // cfg.squeeze_scale
+    return dict(
+        x_t=jax.random.normal(ks[0], (b, t_latent, cfg.latent_total_dim)),
+        t=jnp.array([3, 7][:b]),
+        audio=jax.random.normal(ks[1], (b, 16000 // 30 * frames, 2)),
+        word=jax.random.randint(ks[2], (b, frames), 0, cfg.vocab_size),
+        seed=jax.random.normal(ks[3], (b, cfg.n_seed, cfg.latent_total_dim)),
+    )
+
+
+@pytest.fixture(scope="module")
+def model():
+    module, params = create_mdm(TINY, jax.random.PRNGKey(0), frames=FRAMES)
+    return module, params
+
+
+class TestWavEncoder:
+    def test_temporal_arithmetic_128_frames(self):
+        # 16000/30·128 samples must map to exactly 128 motion frames
+        enc = WavEncoder(16)
+        wav = jnp.zeros((1, 16000 // 30 * 128, 2))
+        params = enc.init(jax.random.PRNGKey(0), wav)
+        out = enc.apply(params, wav)
+        assert out.shape == (1, 128, 16)
+
+
+class TestRoPE:
+    def test_rope_preserves_norm(self):
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 4, 16, 8))
+        ang = rope_angles(16, 8)
+        y = apply_rope(x, ang)
+        np.testing.assert_allclose(
+            np.asarray(jnp.linalg.norm(y, axis=-1)),
+            np.asarray(jnp.linalg.norm(x, axis=-1)),
+            rtol=1e-5,
+        )
+
+    def test_rope_relative_property(self):
+        # <rope(q,i), rope(k,j)> depends only on i-j
+        d = 8
+        q = jax.random.normal(jax.random.PRNGKey(1), (d,))
+        k = jax.random.normal(jax.random.PRNGKey(2), (d,))
+        ang = rope_angles(10, d)
+
+        def dot(i, j):
+            qi = apply_rope(q[None], ang[i : i + 1])[0]
+            kj = apply_rope(k[None], ang[j : j + 1])[0]
+            return float(jnp.dot(qi, kj))
+
+        np.testing.assert_allclose(dot(2, 5), dot(4, 7), rtol=1e-5)
+        np.testing.assert_allclose(dot(0, 3), dot(6, 9), rtol=1e-5)
+
+
+class TestMDM:
+    def test_forward_shape(self, model):
+        module, params = model
+        x = make_inputs(jax.random.PRNGKey(1))
+        out = module.apply({"params": params}, **x)
+        assert out.shape == x["x_t"].shape
+
+    def test_split_cond_denoise_matches_full_forward(self, model):
+        module, params = model
+        x = make_inputs(jax.random.PRNGKey(2))
+        full = module.apply({"params": params}, **x)
+        cond = module.apply(
+            {"params": params}, x["audio"], x["word"], x["seed"],
+            method="encode_cond",
+        )
+        split = module.apply(
+            {"params": params}, x["x_t"], x["t"], cond, method="denoise"
+        )
+        np.testing.assert_allclose(np.asarray(full), np.asarray(split), atol=1e-6)
+
+    def test_uncond_audio_removes_audio_dependence(self, model):
+        module, params = model
+        a = make_inputs(jax.random.PRNGKey(3))
+        b = dict(a, audio=a["audio"] * 5 + 1, word=(a["word"] + 3) % TINY.vocab_size)
+        out_a = module.apply({"params": params}, **a, uncond_audio=True)
+        out_b = module.apply({"params": params}, **b, uncond_audio=True)
+        np.testing.assert_allclose(np.asarray(out_a), np.asarray(out_b), atol=1e-5)
+
+    def test_cond_changes_output(self, model):
+        module, params = model
+        a = make_inputs(jax.random.PRNGKey(4))
+        out_c = module.apply({"params": params}, **a)
+        out_u = module.apply({"params": params}, **a, uncond_audio=True)
+        assert float(jnp.max(jnp.abs(out_c - out_u))) > 1e-4
+
+    def test_seed_changes_output(self, model):
+        module, params = model
+        a = make_inputs(jax.random.PRNGKey(5))
+        out1 = module.apply({"params": params}, **a)
+        out2 = module.apply({"params": params}, **dict(a, seed=a["seed"] + 1.0))
+        assert float(jnp.max(jnp.abs(out1 - out2))) > 1e-4
+
+    def test_train_mode_stochastic(self, model):
+        module, params = model
+        a = make_inputs(jax.random.PRNGKey(6))
+        o1 = module.apply(
+            {"params": params}, **a, train=True,
+            cond_rng=jax.random.PRNGKey(1),
+            rngs={"dropout": jax.random.PRNGKey(2)},
+        )
+        o2 = module.apply(
+            {"params": params}, **a, train=True,
+            cond_rng=jax.random.PRNGKey(3),
+            rngs={"dropout": jax.random.PRNGKey(4)},
+        )
+        assert not np.allclose(np.asarray(o1), np.asarray(o2))
+
+    def test_prompt_variant(self):
+        cfg = MDMConfig(
+            **{**TINY.__dict__, "use_prompt": True, "prompt_dim": 12}
+        )
+        module, params = create_mdm(cfg, jax.random.PRNGKey(0), frames=FRAMES)
+        x = make_inputs(jax.random.PRNGKey(7), cfg=cfg)
+        p0 = jnp.zeros((2, 12))
+        p1 = jnp.ones((2, 12))
+        out0 = module.apply({"params": params}, **x, prompt=p0)
+        out1 = module.apply({"params": params}, **x, prompt=p1)
+        assert not np.allclose(np.asarray(out0), np.asarray(out1))
+        # uncond_prompt makes the prompt irrelevant
+        u0 = module.apply({"params": params}, **x, prompt=p0, uncond_prompt=True)
+        u1 = module.apply({"params": params}, **x, prompt=p1, uncond_prompt=True)
+        np.testing.assert_allclose(np.asarray(u0), np.asarray(u1), atol=1e-6)
