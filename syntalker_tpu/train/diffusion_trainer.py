@@ -1,0 +1,121 @@
+"""Diffusion (denoiser) training step.
+
+Capability parity with ``diffusion_rvqvae_trainer.py:339-357`` (_g_training)
++ ``train()`` (:543-571): uniform timestep sampling, x0-prediction
+SmoothL1 loss on the 1536-dim latent sequence, Adam with global-norm clip.
+
+The batch carries *latents* already produced by the frozen body-part
+RVQ-VAE encoders (map2latent ÷ latent_scale, trainer :289-294). Latent
+encoding is part of the data path, not the train step — on TPU we fold it
+into the same jit when the RVQ params are available (see
+``make_latent_encoder``), keeping the whole step on-device.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from syntalker_tpu.data import joints as J
+from syntalker_tpu.diffusion.core import training_loss
+from syntalker_tpu.diffusion.schedule import DiffusionParams
+from syntalker_tpu.models.denoiser import MDM
+from syntalker_tpu.train.state import TrainState
+
+
+@dataclasses.dataclass(frozen=True)
+class DiffusionTrainConfig:
+    pre_frames: int = 4  # args.pre_frames
+    latent_scale: float = 5.0  # args.vqvae_latent_scale
+
+
+def make_diffusion_train_step(
+    mdm: MDM,
+    diffusion: DiffusionParams,
+    optimizer,
+    cfg: DiffusionTrainConfig = DiffusionTrainConfig(),
+):
+    """Returns a jittable (state, batch) -> (state, metrics) step.
+
+    batch dict:
+      latent_in : (B, T_lat, 1536) scaled body-part latents (x0)
+      audio     : (B, S, 2) onset+amplitude channels
+      word      : (B, F) int32 word ids
+      prompt    : optional (B, prompt_dim) TMR embedding (h3d path)
+    """
+
+    def step(state: TrainState, batch: Dict[str, jax.Array]):
+        rng, (k_t, k_noise, k_cond, k_drop) = state.next_rngs(4)
+        x0 = batch["latent_in"]
+        b = x0.shape[0]
+        t = jax.random.randint(k_t, (b,), 0, diffusion.num_steps)
+        noise = jax.random.normal(k_noise, x0.shape)
+        seed = x0[:, : cfg.pre_frames]
+
+        def loss_fn(params):
+            cond = mdm.apply(
+                {"params": params},
+                batch["audio"],
+                batch["word"],
+                seed,
+                prompt=batch.get("prompt"),
+                train=True,
+                cond_rng=k_cond,
+                method="encode_cond",
+                rngs={"dropout": k_drop},
+            )
+
+            def model_fn(x_t, t_orig):
+                return mdm.apply(
+                    {"params": params},
+                    x_t,
+                    t_orig,
+                    cond,
+                    train=True,
+                    method="denoise",
+                    rngs={"dropout": jax.random.fold_in(k_drop, 1)},
+                )
+
+            loss = training_loss(diffusion, model_fn, x0, t, noise)
+            return jnp.mean(loss)
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        import optax
+
+        updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            step=state.step + 1, params=new_params, opt_state=new_opt, rng=rng
+        )
+        return new_state, {"predict_x0_loss": loss}
+
+    return step
+
+
+def make_latent_encoder(rvq_modules: dict, stats, *, latent_scale: float = 5.0):
+    """Build the pose->latent featurizer used by the diffusion data path.
+
+    Mirrors _load_data (diffusion_rvqvae_trainer.py:244-294): per-part rot6d
+    normalization, frozen RVQ ``map2latent``, concat, ÷latent_scale.
+
+    Input: dict with per-part rot6d features (B, T, dim) **unnormalized**
+    and trans_v (B, T, 3). Output: (B, T/4, 1536) latent_in.
+    """
+
+    def encode(upper, hands, lower, trans_v):
+        u = stats.normalize_part(upper, "upper")
+        h = stats.normalize_part(hands, "hands")
+        l = stats.normalize_part(lower, "lower")
+        tv = (trans_v - stats.trans_mean) / stats.trans_std
+        lower_in = jnp.concatenate([l, tv], axis=-1)
+        feats = {"upper": u, "hands": h, "lower": lower_in}
+        lat = []
+        for name in J.LATENT_SLICES:
+            module, params, _state = rvq_modules[name]
+            lat.append(module.apply({"params": params}, feats[name], method="map2latent"))
+        return jnp.concatenate(lat, axis=-1) / latent_scale
+
+    return encode

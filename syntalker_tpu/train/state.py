@@ -1,0 +1,126 @@
+"""Train state containers + checkpoint I/O (orbax).
+
+Improves on the reference's checkpointing (utils/other_tools.py:757-791):
+the torch trainer only ever persisted model weights — optimizer state was
+dropped, so "resume" silently re-finetuned (SURVEY.md §5). Here the full
+train state (params, optimizer state, quantizer EMA codebooks, PRNG key,
+step counter) round-trips through orbax.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+
+class TrainState(struct.PyTreeNode):
+    step: jax.Array
+    params: Any
+    opt_state: Any
+    rng: jax.Array
+    # quantizer EMA codebooks (RVQ training) or None (diffusion training)
+    quantizer_state: Any = None
+
+    def next_rngs(self, n: int = 2):
+        keys = jax.random.split(self.rng, n + 1)
+        return keys[0], keys[1:]
+
+
+def create_train_state(
+    params: Any,
+    optimizer: optax.GradientTransformation,
+    rng: jax.Array,
+    quantizer_state: Any = None,
+) -> TrainState:
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        opt_state=optimizer.init(params),
+        rng=rng,
+        quantizer_state=quantizer_state,
+    )
+
+
+# ---------------------------------------------------------------------------
+# checkpoint I/O
+# ---------------------------------------------------------------------------
+
+
+def save_checkpoint(ckpt_dir: str | Path, state: TrainState, step: Optional[int] = None):
+    import orbax.checkpoint as ocp
+
+    path = Path(ckpt_dir).absolute()
+    step = int(state.step) if step is None else step
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(path / f"step_{step}", jax.device_get(state), force=True)
+    return path / f"step_{step}"
+
+
+def load_checkpoint(ckpt_path: str | Path, target: TrainState) -> TrainState:
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as ckptr:
+        return ckptr.restore(Path(ckpt_path).absolute(), target)
+
+
+def latest_checkpoint(ckpt_dir: str | Path) -> Optional[Path]:
+    d = Path(ckpt_dir)
+    if not d.exists():
+        return None
+    steps = sorted(
+        (int(p.name.split("_")[1]), p) for p in d.glob("step_*") if p.is_dir()
+    )
+    return steps[-1][1] if steps else None
+
+
+# ---------------------------------------------------------------------------
+# optimizers (optimizers/optim_factory.py + scheduler_factory.py equivalents)
+# ---------------------------------------------------------------------------
+
+
+def make_rvq_optimizer(
+    lr: float = 2e-4,
+    warmup_iters: int = 1000,
+    milestones: tuple = (150_000, 250_000),
+    gamma: float = 0.1,
+    grad_clip: float = 0.0,
+) -> optax.GradientTransformation:
+    """AdamW(β=0.9, 0.99) + linear warmup + MultiStepLR
+    (rvq_beatx_train.py:324-361)."""
+
+    def schedule(step):
+        warm = jnp.minimum(step / jnp.maximum(warmup_iters, 1), 1.0)
+        decay = jnp.ones(())
+        for m in milestones:
+            decay = decay * jnp.where(step >= m, gamma, 1.0)
+        return lr * warm * decay
+
+    tx = optax.adamw(schedule, b1=0.9, b2=0.99, weight_decay=0.0)
+    if grad_clip > 0:
+        tx = optax.chain(optax.clip_by_global_norm(grad_clip), tx)
+    return tx
+
+
+def make_diffusion_optimizer(
+    lr: float = 5e-5,
+    grad_clip: float = 0.99,
+    decay_steps: int = 0,
+    decay_rate: float = 0.1,
+) -> optax.GradientTransformation:
+    """Adam + global-norm clip 0.99 (configs/diffusion_rvqvae_128.yaml:100,
+    diffusion_rvqvae_trainer.py:557-560), optional step decay."""
+    if decay_steps > 0:
+        schedule = optax.exponential_decay(
+            lr, transition_steps=decay_steps, decay_rate=decay_rate, staircase=True
+        )
+    else:
+        schedule = lr
+    return optax.chain(
+        optax.clip_by_global_norm(grad_clip),
+        optax.adam(schedule),
+    )
