@@ -1,0 +1,200 @@
+"""Host-side audio featurization: amplitude envelope + onset impulses.
+
+Capability parity with the reference's cache-time audio path
+(``dataloaders/beat_sep_lower.py:387-413``) and the BeatAlign onset source
+(``utils/metric.py:64-76``), with the librosa dependency replaced by a
+numpy/scipy implementation (librosa is not available on the TPU hosts):
+
+- amplitude envelope: rolling max of |x| over 1024-sample windows, stride 1,
+  end-padded with the final value (beat_sep_lower.py:395-403),
+- onset detection: mel-spectral-flux strength envelope + librosa-default
+  peak picking (onset_detect semantics for sr=16 kHz, hop 512),
+- the onset impulse train marks the onset *sample* positions
+  (frame·hop), fixing the reference's frame-index-into-sample-array slip at
+  beat_sep_lower.py:405 so every generation window sees its onsets; the
+  framework uses this one implementation for both training features and
+  evaluation, so the stack stays self-consistent.
+
+WAV I/O uses the stdlib ``wave`` module (16-bit PCM) with polyphase
+resampling to 16 kHz.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Tuple
+
+import numpy as np
+from scipy.io import wavfile
+from scipy.signal import resample_poly
+
+
+# ---------------------------------------------------------------------------
+# I/O
+# ---------------------------------------------------------------------------
+
+
+def load_wav_mono(path: str | Path, target_sr: int = 16000) -> Tuple[np.ndarray, int]:
+    """Read a PCM/float wav as float32 mono at target_sr."""
+    sr, y = wavfile.read(str(path))
+    if y.dtype == np.int16:
+        y = y.astype(np.float32) / 32768.0
+    elif y.dtype == np.int32:
+        y = y.astype(np.float32) / 2147483648.0
+    elif y.dtype == np.uint8:
+        y = (y.astype(np.float32) - 128.0) / 128.0
+    else:
+        y = y.astype(np.float32)
+    if y.ndim > 1:
+        y = y.mean(axis=1)
+    if sr != target_sr:
+        g = np.gcd(int(sr), target_sr)
+        y = resample_poly(y, target_sr // g, int(sr) // g).astype(np.float32)
+    return np.ascontiguousarray(y, np.float32), target_sr
+
+
+# ---------------------------------------------------------------------------
+# spectral machinery (librosa-equivalent, numpy only)
+# ---------------------------------------------------------------------------
+
+
+def _hz_to_mel(f: np.ndarray) -> np.ndarray:
+    """Slaney mel scale (librosa default)."""
+    f = np.asarray(f, dtype=np.float64)
+    mel = f / 66.6666666666667
+    log_region = f >= 1000.0
+    mel = np.where(
+        log_region, 15.0 + np.log(np.maximum(f, 1e-10) / 1000.0) / np.log(6.4) * 27.0, mel
+    )
+    return mel
+
+
+def _mel_to_hz(m: np.ndarray) -> np.ndarray:
+    m = np.asarray(m, dtype=np.float64)
+    f = m * 66.6666666666667
+    log_region = m >= 15.0
+    f = np.where(log_region, 1000.0 * np.exp(np.log(6.4) * (m - 15.0) / 27.0), f)
+    return f
+
+
+def mel_filterbank(sr: int, n_fft: int, n_mels: int = 128, fmin: float = 0.0, fmax=None):
+    """Slaney-normalized triangular mel filterbank (n_mels, 1+n_fft//2)."""
+    fmax = fmax or sr / 2
+    fft_freqs = np.linspace(0, sr / 2, 1 + n_fft // 2)
+    mel_pts = _mel_to_hz(np.linspace(_hz_to_mel(fmin), _hz_to_mel(fmax), n_mels + 2))
+    weights = np.zeros((n_mels, len(fft_freqs)))
+    fdiff = np.diff(mel_pts)
+    ramps = mel_pts[:, None] - fft_freqs[None, :]
+    for i in range(n_mels):
+        lower = -ramps[i] / fdiff[i]
+        upper = ramps[i + 2] / fdiff[i + 1]
+        weights[i] = np.maximum(0, np.minimum(lower, upper))
+    enorm = 2.0 / (mel_pts[2 : n_mels + 2] - mel_pts[:n_mels])
+    return (weights * enorm[:, None]).astype(np.float32)
+
+
+def stft_power(y: np.ndarray, n_fft: int = 2048, hop: int = 512) -> np.ndarray:
+    """Centered power spectrogram (frames, 1+n_fft//2), hann window."""
+    pad = n_fft // 2
+    ypad = np.pad(y, pad, mode="reflect") if len(y) > pad else np.pad(y, pad)
+    n_frames = 1 + (len(ypad) - n_fft) // hop
+    idx = np.arange(n_fft)[None, :] + hop * np.arange(n_frames)[:, None]
+    frames = ypad[idx] * np.hanning(n_fft + 1)[:-1]
+    spec = np.fft.rfft(frames, axis=-1)
+    return (spec.real**2 + spec.imag**2).astype(np.float32)
+
+
+def power_to_db(S: np.ndarray, amin: float = 1e-10, top_db: float = 80.0) -> np.ndarray:
+    ref = np.maximum(amin, S.max())
+    db = 10.0 * np.log10(np.maximum(amin, S) / ref)
+    return np.maximum(db, -top_db)
+
+
+def onset_strength(y: np.ndarray, sr: int = 16000, hop: int = 512) -> np.ndarray:
+    """Mel spectral-flux onset envelope (librosa.onset.onset_strength
+    semantics: 128 mels, dB scale, positive first difference, mean over
+    bands, lag-compensated)."""
+    n_fft = 2048
+    S = stft_power(y, n_fft, hop) @ mel_filterbank(sr, n_fft).T  # (F, mels)
+    S = power_to_db(S)
+    flux = np.maximum(0.0, S[1:] - S[:-1]).mean(axis=1)
+    # librosa pads the lag + centering offset at the front
+    pad = 1 + n_fft // (2 * hop)
+    env = np.concatenate([np.zeros(pad, np.float32), flux.astype(np.float32)])
+    return env
+
+
+def peak_pick(
+    env: np.ndarray,
+    *,
+    pre_max: int,
+    post_max: int,
+    pre_avg: int,
+    post_avg: int,
+    delta: float,
+    wait: int,
+) -> np.ndarray:
+    """librosa.util.peak_pick semantics on a 1-D envelope."""
+    n = len(env)
+    peaks = []
+    last = -1 - wait
+    for i in range(n):
+        lo_m, hi_m = max(0, i - pre_max), min(n, i + post_max + 1)
+        if env[i] < env[lo_m:hi_m].max():
+            continue
+        lo_a, hi_a = max(0, i - pre_avg), min(n, i + post_avg + 1)
+        if env[i] < env[lo_a:hi_a].mean() + delta:
+            continue
+        if i - last <= wait:
+            continue
+        peaks.append(i)
+        last = i
+    return np.asarray(peaks, dtype=np.int64)
+
+
+def onset_detect_frames(y: np.ndarray, sr: int = 16000, hop: int = 512) -> np.ndarray:
+    """Onset frame indices (librosa.onset.onset_detect defaults, normalized
+    envelope, no backtracking)."""
+    env = onset_strength(y, sr, hop)
+    rng = env.max() - env.min()
+    if rng > 0:
+        env = (env - env.min()) / rng
+    return peak_pick(
+        env,
+        pre_max=int(0.03 * sr // hop),
+        post_max=int(0.0 * sr // hop) + 1,
+        pre_avg=int(0.1 * sr // hop),
+        post_avg=int(0.1 * sr // hop) + 1,
+        delta=0.07,
+        wait=int(0.03 * sr // hop),
+    )
+
+
+def onset_detect_times(y: np.ndarray, sr: int = 16000, hop: int = 512) -> np.ndarray:
+    """Onset times in seconds (BeatAlign's audio side, utils/metric.py:64-76)."""
+    return onset_detect_frames(y, sr, hop) * hop / sr
+
+
+# ---------------------------------------------------------------------------
+# model input features
+# ---------------------------------------------------------------------------
+
+
+def amplitude_envelope(y: np.ndarray, frame_length: int = 1024) -> np.ndarray:
+    """Rolling max of |x| over frame_length, stride 1, end-padded
+    (beat_sep_lower.py:395-403)."""
+    if len(y) < frame_length:
+        return np.full(len(y), np.abs(y).max() if len(y) else 0.0, np.float32)
+    win = np.lib.stride_tricks.sliding_window_view(np.abs(y), frame_length)
+    env = win.max(axis=1)
+    return np.pad(env, (0, frame_length - 1), mode="edge").astype(np.float32)
+
+
+def onset_amplitude_features(y: np.ndarray, sr: int = 16000) -> np.ndarray:
+    """(S, 2) model input: [amplitude envelope, onset impulse train]."""
+    amp = amplitude_envelope(y)
+    onset = np.zeros(len(y), np.float32)
+    samples = onset_detect_frames(y, sr) * 512
+    samples = samples[samples < len(y)]
+    onset[samples] = 1.0
+    return np.stack([amp, onset], axis=1)

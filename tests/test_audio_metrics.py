@@ -1,0 +1,133 @@
+"""Audio featurization + evaluation metric tests, using the reference's
+shipped demo wav for realistic signals."""
+
+import numpy as np
+import pytest
+
+from syntalker_tpu.data import audio as A
+from syntalker_tpu.eval.metrics import BeatAligner, L1Div, frechet_distance
+
+WAV = "/root/reference/demo/examples/2_scott_0_1_1.wav"
+
+
+@pytest.fixture(scope="module")
+def speech():
+    y, sr = A.load_wav_mono(WAV)
+    return y[: sr * 10], sr  # 10 s is plenty
+
+
+class TestAudioIO:
+    def test_load_resamples_to_16k(self, speech):
+        y, sr = speech
+        assert sr == 16000
+        assert y.dtype == np.float32
+        assert 0.01 < np.abs(y).max() <= 1.0
+
+
+class TestAmplitudeEnvelope:
+    def test_shape_and_upper_bound(self, speech):
+        y, _ = speech
+        env = A.amplitude_envelope(y)
+        assert env.shape == y.shape
+        assert (env >= np.abs(y) - 1e-6).all()  # rolling max dominates
+
+    def test_rolling_max_exact(self):
+        y = np.zeros(2000, np.float32)
+        y[1500] = 1.0
+        env = A.amplitude_envelope(y, frame_length=1024)
+        # any window containing sample 1500 sees the spike
+        assert env[477] == 1.0 and env[1500] == 1.0
+        assert env[0] == 0.0
+
+
+class TestOnsets:
+    def test_speech_has_onsets(self, speech):
+        y, sr = speech
+        frames = A.onset_detect_frames(y, sr)
+        assert len(frames) > 5  # 10 s of speech
+        t = A.onset_detect_times(y, sr)
+        assert (np.diff(t) > 0).all()
+        assert t.max() < 10.0
+
+    def test_silence_has_no_onsets(self):
+        y = np.zeros(16000, np.float32)
+        assert len(A.onset_detect_frames(y)) == 0
+
+    def test_click_train_detected(self):
+        # clicks every 0.5 s must produce onsets near the click times
+        sr = 16000
+        y = np.random.default_rng(0).normal(0, 1e-4, sr * 4).astype(np.float32)
+        clicks = np.arange(sr // 2, sr * 4, sr // 2)
+        for c in clicks:
+            y[c : c + 200] += np.sin(2 * np.pi * 880 * np.arange(200) / sr) * 0.8
+        t = A.onset_detect_times(y, sr)
+        for c in clicks:
+            assert np.min(np.abs(t - c / sr)) < 0.07, (c / sr, t)
+
+    def test_feature_stack_shape(self, speech):
+        y, sr = speech
+        feats = A.onset_amplitude_features(y, sr)
+        assert feats.shape == (len(y), 2)
+        assert set(np.unique(feats[:, 1])) <= {0.0, 1.0}
+        assert feats[:, 1].sum() >= 5
+
+
+class TestL1Div:
+    def test_constant_motion_zero(self):
+        m = L1Div()
+        m.update(np.ones((10, 6)))
+        assert m.result() == 0.0
+
+    def test_known_value(self):
+        m = L1Div()
+        x = np.zeros((2, 1))
+        x[1] = 2.0  # mean 1, |dev| = 1 each -> sum 2, frames 2 -> avg 1
+        m.update(x)
+        assert m.result() == 1.0
+
+
+class TestBeatAlign:
+    def test_perfect_alignment_scores_high(self):
+        al = BeatAligner(mean_velocity=np.ones(55))
+        audio_t = np.array([0.5, 1.0, 1.5])
+        pose_beats = [np.array([15, 30, 45])] * 55  # frames at 30fps = same times
+        s = al.score(audio_t, pose_beats)
+        assert s > 0.99
+
+    def test_misalignment_scores_low(self):
+        al = BeatAligner(mean_velocity=np.ones(55))
+        audio_t = np.array([0.5, 1.0, 1.5])
+        pose_beats = [np.array([0])] * 55  # 0.0s vs nearest 0.5s
+        s = al.score(audio_t, pose_beats)
+        assert s < 0.3
+
+    def test_motion_beats_on_oscillation(self):
+        # sinusoidal joint -> speed minima at the turning points
+        al = BeatAligner(mean_velocity=np.full(55, 0.01), threshold=0.0)
+        t = np.arange(120) / 30
+        joints = np.zeros((120, 55, 3))
+        joints[:, :, 0] = np.sin(2 * np.pi * 1.0 * t)[:, None]  # 1 Hz
+        beats = al.motion_beats(joints.reshape(120, -1), 0, 120)
+        # turning points every 15 frames (0.5 s); order-7 minima find them
+        assert len(beats[3]) >= 5
+        gaps = np.diff(beats[3])
+        assert np.abs(gaps - 15).max() <= 2
+
+
+class TestFrechet:
+    def test_identical_distributions_zero(self):
+        x = np.random.default_rng(0).normal(size=(500, 16))
+        assert frechet_distance(x, x.copy()) < 1e-8
+
+    def test_shifted_mean(self):
+        rng = np.random.default_rng(1)
+        x = rng.normal(size=(2000, 8))
+        y = rng.normal(size=(2000, 8)) + 2.0
+        d = frechet_distance(x, y)
+        assert abs(d - 8 * 4.0) < 1.5  # ||mu_diff||^2 = 8 * 4
+
+    def test_scale_sensitivity(self):
+        rng = np.random.default_rng(2)
+        x = rng.normal(size=(2000, 4))
+        y = rng.normal(size=(2000, 4)) * 3.0
+        assert frechet_distance(x, y) > 10
