@@ -97,7 +97,12 @@ def code_distances(x: jax.Array, codebook: jax.Array) -> jax.Array:
     """
     x2 = jnp.sum(x * x, axis=-1, keepdims=True)
     c2 = jnp.sum(codebook * codebook, axis=-1)
-    cross = x @ codebook.T
+    # full-precision matmul: bf16 distance ties would flip argmin results
+    # between this path and the fused Pallas kernel
+    cross = jax.lax.dot(
+        x, codebook.T, precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
     return x2 - 2.0 * cross + c2[None, :]
 
 
