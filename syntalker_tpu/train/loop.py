@@ -1,0 +1,244 @@
+"""Trainer orchestration: epoch/iteration loops around the jitted steps.
+
+Capability parity with the reference trainer layer (train.py:33-253
+BaseTrainer, diffusion_rvqvae_trainer.py train/test, rvq_beatx_train.py),
+restructured so that ALL device work is inside jitted functions and the
+Python loop only moves host batches and records metrics.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+from pathlib import Path
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from syntalker_tpu.config import ExperimentConfig, body_part_rvq_config
+from syntalker_tpu.data import joints as J
+from syntalker_tpu.data.cache import BatchLoader, BeatCache
+from syntalker_tpu.data.features import pose_to_part_rot6d
+from syntalker_tpu.data.stats import PoseStats, identity_pose_stats, load_pose_stats
+from syntalker_tpu.diffusion.schedule import make_diffusion
+from syntalker_tpu.models.denoiser import MDM, create_mdm
+from syntalker_tpu.models.rvqvae import RVQVAE, create_rvqvae
+from syntalker_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from syntalker_tpu.train.diffusion_trainer import (
+    DiffusionTrainConfig,
+    make_diffusion_train_step,
+    make_latent_encoder,
+)
+from syntalker_tpu.train.rvq_trainer import RVQLossConfig, make_rvq_train_step
+from syntalker_tpu.train import state as ts
+from syntalker_tpu.utils.tracking import EpochTracker, StepTimer, set_random_seed
+
+log = logging.getLogger("syntalker")
+
+
+def _rvq_cfg(cfg: ExperimentConfig, part: str):
+    """Body-part RVQ config sized to match the denoiser latent (one third
+    of latent_total_dim per part)."""
+    import dataclasses as _dc
+
+    from syntalker_tpu.ops.quantize import RVQConfig
+
+    code_dim = cfg.mdm.latent_total_dim // J.NUM_PARTS
+    q = RVQConfig(code_dim=code_dim, nb_code=512)
+    rcfg = body_part_rvq_config(part, cfg.rvq_width, cfg.rvq_depth, q)
+    return _dc.replace(rcfg, output_emb_width=code_dim)
+
+
+def load_rvq_stack(cfg: ExperimentConfig, rng: jax.Array) -> Dict[str, tuple]:
+    """(module, params, quantizer_state) per body part; loads checkpoints
+    from cfg.rvq_ckpts when given, else fresh-initializes (for smoke runs)."""
+    out = {}
+    for i, part in enumerate(("upper", "hands", "lower")):
+        rcfg = _rvq_cfg(cfg, part)
+        module, params, qstate = create_rvqvae(rcfg, jax.random.fold_in(rng, i))
+        if i < len(cfg.rvq_ckpts) and cfg.rvq_ckpts[i]:
+            target = ts.TrainState(
+                step=jnp.zeros((), jnp.int32),
+                params=params,
+                opt_state=None,
+                rng=rng,
+                quantizer_state=qstate,
+            )
+            restored = ts.load_checkpoint(cfg.rvq_ckpts[i], target)
+            params, qstate = restored.params, restored.quantizer_state
+        out[part] = (module, params, qstate)
+    return out
+
+
+class DiffusionTrainer:
+    """Epoch-based denoiser training (diffusion_rvqvae_trainer.py:543-571)."""
+
+    def __init__(self, cfg: ExperimentConfig, cache: BeatCache, stats: Optional[PoseStats] = None):
+        self.cfg = cfg
+        set_random_seed(cfg.train.seed)
+        rng = jax.random.PRNGKey(cfg.train.seed)
+
+        self.mesh = make_mesh(cfg.train.data_parallel, cfg.train.model_parallel)
+        self.loader = BatchLoader(cache, cfg.train.batch_size, seed=cfg.train.seed)
+        self.stats = stats or (
+            load_pose_stats(cfg.data.mean_std_dir)
+            if Path(cfg.data.mean_std_dir).exists()
+            else identity_pose_stats()
+        )
+
+        self.mdm, mdm_params = create_mdm(cfg.mdm, rng, frames=cfg.data.pose_length)
+        self.rvq = load_rvq_stack(cfg, jax.random.fold_in(rng, 99))
+        self.diffusion = make_diffusion(
+            schedule=cfg.diffusion.schedule,
+            steps=cfg.diffusion.steps,
+            timestep_respacing=cfg.diffusion.timestep_respacing or None,
+        )
+        self.optimizer = ts.make_diffusion_optimizer(cfg.train.lr, cfg.train.grad_clip)
+        self.state = ts.create_train_state(mdm_params, self.optimizer, rng)
+
+        encode_latent = make_latent_encoder(
+            self.rvq, self.stats, latent_scale=cfg.latent_scale
+        )
+
+        def featurize(batch):
+            pose_aa = batch["pose"][..., : J.AXIS_ANGLE_DIM]
+            parts = pose_to_part_rot6d(pose_aa)
+            latent_in = encode_latent(
+                parts["upper"], parts["hands"], parts["lower"], batch["trans_v"]
+            )
+            return {
+                "latent_in": latent_in,
+                "audio": batch["audio"],
+                "word": batch["word"],
+            }
+
+        raw_step = make_diffusion_train_step(
+            self.mdm,
+            self.diffusion,
+            self.optimizer,
+            DiffusionTrainConfig(cfg.pre_frames, cfg.latent_scale),
+        )
+
+        def fused_step(state, batch):
+            return raw_step(state, featurize(batch))
+
+        self.step = jax.jit(fused_step)
+        self.tracker = EpochTracker({"fid": False, "bc": True, "l1div": True})
+
+        with self.mesh:
+            self.state = self.state.replace(
+                params=replicate(self.state.params, self.mesh),
+                opt_state=replicate(self.state.opt_state, self.mesh),
+            )
+
+    def train_epoch(self, epoch: int) -> Dict[str, float]:
+        timer = StepTimer()
+        with self.mesh:
+            for it, batch in enumerate(self.loader.epoch(epoch)):
+                batch = shard_batch(
+                    {k: batch[k] for k in ("pose", "trans_v", "audio", "word")},
+                    self.mesh,
+                )
+                timer.mark_data()
+                self.state, metrics = self.step(self.state, batch)
+                if it % self.cfg.train.log_period == 0:
+                    loss = float(metrics["predict_x0_loss"])
+                    self.tracker.update("predict_x0_loss", "train", loss)
+                    timer.mark_step()
+                    log.info(
+                        f"epoch {epoch} it {it}: loss {loss:.4f} "
+                        f"(data {timer.data_s*1e3:.0f}ms step {timer.step_s*1e3:.0f}ms)"
+                    )
+        return self.tracker.end_epoch(epoch)
+
+    def save(self, step: Optional[int] = None):
+        return ts.save_checkpoint(self.cfg.train.ckpt_dir, self.state, step)
+
+
+class RVQTrainer:
+    """Iteration-based body-part RVQ-VAE training (rvq_beatx_train.py:333-404)."""
+
+    def __init__(self, cfg: ExperimentConfig, cache: BeatCache, stats: Optional[PoseStats] = None):
+        self.cfg = cfg
+        part = cfg.rvq_train.body_part
+        set_random_seed(cfg.train.seed)
+        rng = jax.random.PRNGKey(cfg.train.seed)
+
+        self.part = part
+        self.stats = stats or (
+            load_pose_stats(cfg.data.mean_std_dir)
+            if Path(cfg.data.mean_std_dir).exists()
+            else identity_pose_stats()
+        )
+        self.mesh = make_mesh(cfg.train.data_parallel, cfg.train.model_parallel)
+        self.loader = BatchLoader(cache, cfg.rvq_train.batch_size, seed=cfg.train.seed)
+
+        rcfg = _rvq_cfg(cfg, part)
+        self.module, params, qstate = create_rvqvae(rcfg, rng)
+        self.optimizer = ts.make_rvq_optimizer(
+            cfg.rvq_train.lr,
+            cfg.rvq_train.warmup_iters,
+            cfg.rvq_train.milestones,
+            cfg.rvq_train.gamma,
+        )
+        self.state = ts.create_train_state(params, self.optimizer, rng, qstate)
+
+        stats_ref = self.stats
+        use_trans = part == "lower" and cfg.data.use_trans
+
+        def featurize(batch):
+            pose_aa = batch["pose"][..., : J.AXIS_ANGLE_DIM]
+            parts = pose_to_part_rot6d(pose_aa)
+            x = stats_ref.normalize_part(parts[part], part)
+            if use_trans:
+                tv = (batch["trans_v"] - stats_ref.trans_mean) / stats_ref.trans_std
+                x = jnp.concatenate([x, tv], axis=-1)
+            return x
+
+        raw_step = make_rvq_train_step(
+            self.module,
+            self.optimizer,
+            RVQLossConfig(commit_weight=cfg.rvq_train.commit_weight),
+        )
+
+        def fused_step(state, batch):
+            return raw_step(state, featurize(batch))
+
+        self.step = jax.jit(fused_step)
+        self.tracker = EpochTracker()
+
+    def train(self, total_iters: Optional[int] = None):
+        total = total_iters or self.cfg.rvq_train.total_iters
+        if len(self.loader) == 0:
+            raise ValueError(
+                f"no full batches: {len(self.loader.cache)} windows < "
+                f"batch size {self.loader.batch_size}"
+            )
+        it = 0
+        epoch = 0
+        with self.mesh:
+            while it < total:
+                for batch in self.loader.epoch(epoch):
+                    batch = shard_batch(
+                        {k: batch[k] for k in ("pose", "trans_v")}, self.mesh
+                    )
+                    self.state, metrics = self.step(self.state, batch)
+                    it += 1
+                    if it % self.cfg.train.log_period == 0:
+                        log.info(
+                            f"iter {it}: loss {float(metrics['loss']):.4f} "
+                            f"recon {float(metrics['recon']):.4f} "
+                            f"perplexity {float(metrics['perplexity']):.1f}"
+                        )
+                    if it % self.cfg.rvq_train.save_every == 0:
+                        self.save(it)
+                    if it >= total:
+                        break
+                epoch += 1
+        return self.state
+
+    def save(self, step: Optional[int] = None):
+        d = Path(self.cfg.train.ckpt_dir) / f"rvq_{self.part}"
+        return ts.save_checkpoint(d, self.state, step)
