@@ -1,0 +1,254 @@
+"""BEAT2 test-split evaluation: generate per clip, score FGD/BeatAlign/L1Div.
+
+Capability parity with ``test.py`` + ``CustomTrainer.test``
+(diffusion_rvqvae_trainer.py:577-732): for every test clip, run the
+windowed autoregressive sampler, decode through the body-part RVQ-VAEs,
+scatter to full-body rot6d (jaw copied from GT, :526), then
+
+- FGD between eval-VAE latents of generated vs ground-truth motion,
+- BeatAlign between audio onsets and generated upper-body motion beats,
+- L1 diversity of generated joint positions,
+
+and dump gt_/res_ npz pairs for rendering. Joint positions come from the
+JAX SMPL-X fast path when a body model is available; otherwise the
+skeleton metrics degrade gracefully (FGD still runs — it needs only rot6d).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import time
+from pathlib import Path
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from syntalker_tpu import generation as G
+from syntalker_tpu.data import joints as J
+from syntalker_tpu.data.cache import BeatCache
+from syntalker_tpu.data.features import pose_to_part_rot6d
+from syntalker_tpu.eval.metrics import BeatAligner, L1Div, frechet_distance
+from syntalker_tpu.train.diffusion_trainer import make_latent_encoder
+
+log = logging.getLogger("syntalker")
+
+
+@dataclasses.dataclass
+class EvalResult:
+    fid: float
+    bc: float
+    l1div: float
+    clips: int
+    motion_seconds: float
+    wall_seconds: float
+
+    def as_dict(self) -> Dict[str, float]:
+        return dataclasses.asdict(self)
+
+
+class GestureEvaluator:
+    def __init__(
+        self,
+        *,
+        mdm,
+        mdm_params,
+        diffusion,
+        rvq_modules: dict,
+        stats,
+        eval_vae=None,
+        eval_vae_params=None,
+        smplx_model=None,
+        mean_velocity: Optional[np.ndarray] = None,
+        pose_length: int = 128,
+        pre_frames: int = 4,
+        latent_scale: float = 5.0,
+        sampler: str = "ddpm",
+        align_mask: int = 60,  # edge frames excluded from BeatAlign (train.py:158)
+        vae_test_len: int = 32,
+    ):
+        self.mdm = mdm
+        self.mdm_params = mdm_params
+        self.diffusion = diffusion
+        self.rvq_modules = rvq_modules
+        self.stats = stats
+        self.eval_vae = eval_vae
+        self.eval_vae_params = eval_vae_params
+        self.smplx_model = smplx_model
+        self.pose_length = pose_length
+        self.pre_frames = pre_frames
+        self.latent_scale = latent_scale
+        self.sampler = sampler
+        self.align_mask = align_mask
+        self.vae_test_len = vae_test_len
+        self.aligner = (
+            BeatAligner(mean_velocity=mean_velocity)
+            if mean_velocity is not None
+            else None
+        )
+        self._encode_latent = make_latent_encoder(
+            rvq_modules, stats, latent_scale=latent_scale
+        )
+
+    # ------------------------------------------------------------------
+
+    def _gt_latents(self, pose_aa, trans_v):
+        parts = pose_to_part_rot6d(pose_aa)
+        return self._encode_latent(
+            parts["upper"], parts["hands"], parts["lower"], trans_v
+        )
+
+    def _fgd_embed(self, rot6d: jax.Array) -> np.ndarray:
+        n = rot6d.shape[1] - rot6d.shape[1] % self.vae_test_len
+        z = self.eval_vae.apply(
+            {"params": self.eval_vae_params}, rot6d[:, :n], method="map2latent"
+        )
+        return np.asarray(z.reshape(-1, z.shape[-1]))
+
+    def evaluate_clip(self, sample: Dict[str, np.ndarray], rng) -> Dict:
+        """One whole-clip test sample -> generated motion + per-clip stats."""
+        pose = sample["pose"][None]  # (1, N, 169)
+        n_raw = pose.shape[1]
+        plan = G.plan_windows(
+            n_raw, pose_length=self.pose_length, pre_frames=self.pre_frames
+        )
+        n = plan.out_latent_frames * plan.squeeze
+
+        audio_feat = sample["audio"][None]
+        aw = jnp.asarray(G.window_audio(audio_feat, plan))
+        ww = jnp.asarray(G.window_words(sample["word"][None], plan))
+
+        pose_aa = jnp.asarray(pose[..., : J.AXIS_ANGLE_DIM])
+        trans_v = jnp.asarray(sample["trans_v"][None])
+        gt_latents = self._gt_latents(pose_aa, trans_v)
+        init_seed = gt_latents[:, : plan.pre_frames]
+
+        latents = G.sample_windows(
+            self.mdm,
+            self.mdm_params,
+            self.diffusion,
+            plan,
+            aw,
+            ww,
+            init_seed,
+            rng,
+            sampler=self.sampler,
+        )
+        dec = G.decode_latents(
+            latents,
+            rvq_modules=self.rvq_modules,
+            stats=self.stats,
+            latent_scale=self.latent_scale,
+        )
+
+        # jaw + eyes copied from GT (trainer :526); GT full rot6d for FGD
+        rec_aa = np.array(dec["axis_angle"])  # writable copy
+        gt_aa = np.asarray(pose_aa[:, :n])
+        for idx in (J.FACE_AA_IDX, np.arange(69, 75)):
+            rec_aa[..., idx] = gt_aa[..., idx]
+        gt_parts = pose_to_part_rot6d(jnp.asarray(gt_aa))
+        rec_parts = pose_to_part_rot6d(jnp.asarray(rec_aa))
+
+        return {
+            "n_frames": n,
+            "rec_rot6d": np.asarray(rec_parts["full"]),
+            "gt_rot6d": np.asarray(gt_parts["full"]),
+            "rec_aa": rec_aa,
+            "gt_aa": gt_aa,
+            "rec_trans": np.asarray(dec["trans"]),
+            "gt_trans": sample["trans"][:n],
+            "betas": sample["beta"][0],
+        }
+
+    def evaluate(
+        self,
+        cache: BeatCache,
+        rng,
+        *,
+        out_dir: Optional[str | Path] = None,
+        max_clips: Optional[int] = None,
+    ) -> EvalResult:
+        t0 = time.perf_counter()
+        lat_rec, lat_gt = [], []
+        l1 = L1Div()
+        align_sum, align_frames = 0.0, 0
+        total_frames = 0
+        n_clips = min(len(cache), max_clips or len(cache))
+
+        for i in range(n_clips):
+            sample = cache.get(i)
+            out = self.evaluate_clip(sample, jax.random.fold_in(rng, i))
+            n = out["n_frames"]
+            total_frames += n
+            log.info(f"clip {i}: generated {n} frames")
+
+            if self.eval_vae is not None:
+                lat_rec.append(self._fgd_embed(jnp.asarray(out["rec_rot6d"])))
+                lat_gt.append(self._fgd_embed(jnp.asarray(out["gt_rot6d"])))
+
+            if self.smplx_model is not None:
+                from syntalker_tpu.ops import smplx as S
+
+                joints = np.asarray(
+                    S.forward_joints(
+                        self.smplx_model,
+                        jnp.asarray(out["rec_aa"][0]),
+                        jnp.asarray(np.tile(out["betas"], (n, 1))),
+                    )
+                ).reshape(n, -1)
+                l1.update(joints.copy())
+                if self.aligner is not None and "audio" in sample:
+                    onset = sample["audio"][:, 1]
+                    t_on = np.nonzero(onset)[0] / 16000.0
+                    a_lo = self.align_mask / 30.0
+                    a_hi = (n - self.align_mask) / 30.0
+                    t_on = t_on[(t_on >= a_lo) & (t_on <= a_hi)] - a_lo
+                    beats = self.aligner.motion_beats(
+                        joints, self.align_mask, n - self.align_mask
+                    )
+                    score = self.aligner.score(t_on, beats)
+                    align_sum += score * (n - 2 * self.align_mask)
+                    align_frames += n - 2 * self.align_mask
+
+            if out_dir:
+                d = Path(out_dir)
+                d.mkdir(parents=True, exist_ok=True)
+                np.savez(
+                    d / f"res_{i:03d}.npz",
+                    poses=out["rec_aa"][0],
+                    trans=out["rec_trans"][0],
+                    betas=out["betas"],
+                    expressions=sample["facial"][:n],
+                    model="smplx2020",
+                    gender="neutral",
+                    mocap_frame_rate=30,
+                )
+                np.savez(
+                    d / f"gt_{i:03d}.npz",
+                    poses=out["gt_aa"][0],
+                    trans=out["gt_trans"],
+                    betas=out["betas"],
+                    expressions=sample["facial"][:n],
+                    model="smplx2020",
+                    gender="neutral",
+                    mocap_frame_rate=30,
+                )
+
+        fid = (
+            frechet_distance(np.concatenate(lat_rec), np.concatenate(lat_gt))
+            if lat_rec
+            else float("nan")
+        )
+        bc = align_sum / align_frames if align_frames else float("nan")
+        result = EvalResult(
+            fid=fid,
+            bc=bc,
+            l1div=l1.result() if l1.counter else float("nan"),
+            clips=n_clips,
+            motion_seconds=total_frames / 30.0,
+            wall_seconds=time.perf_counter() - t0,
+        )
+        log.info(f"eval: {result}")
+        return result

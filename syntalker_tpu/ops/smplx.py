@@ -83,6 +83,38 @@ def load_smplx_npz(path: str | Path, num_betas: int = 300, num_expr: int = 100) 
     )
 
 
+def synthetic_smplx_model(
+    verts_per_joint: int = 4, seed: int = 0, num_betas: int = 300, num_expr: int = 100
+) -> SMPLXModel:
+    """Geometry-plausible stand-in model for tests/benchmarks when the
+    released SMPLX npz is unavailable: `verts_per_joint` vertices rigidly
+    attached around each joint of a randomized rest skeleton."""
+    rng = np.random.default_rng(seed)
+    rest = np.zeros((NUM_JOINTS, 3), np.float32)
+    for j in range(1, NUM_JOINTS):
+        rest[j] = rest[PARENTS[j]] + rng.normal(0, 0.08, 3).astype(np.float32)
+    v = NUM_JOINTS * verts_per_joint
+    v_template = (
+        np.repeat(rest, verts_per_joint, axis=0)
+        + rng.normal(0, 0.02, (v, 3)).astype(np.float32)
+    )
+    jreg = np.zeros((NUM_JOINTS, v), np.float32)
+    weights = np.zeros((v, NUM_JOINTS), np.float32)
+    for j in range(NUM_JOINTS):
+        sl = slice(j * verts_per_joint, (j + 1) * verts_per_joint)
+        jreg[j, sl] = 1.0 / verts_per_joint
+        weights[sl, j] = 1.0
+    return SMPLXModel(
+        v_template=v_template,
+        shapedirs=rng.normal(0, 1e-4, (v, 3, num_betas + num_expr)).astype(np.float32),
+        posedirs=np.zeros(((NUM_JOINTS - 1) * 9, v * 3), np.float32),
+        j_regressor=jreg,
+        lbs_weights=weights,
+        num_betas=num_betas,
+        num_expr=num_expr,
+    )
+
+
 def rest_joints(model: SMPLXModel, betas: jax.Array, expressions: Optional[jax.Array] = None):
     """Shaped rest-pose joint locations (B, J, 3)."""
     coeffs = betas
