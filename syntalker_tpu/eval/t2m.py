@@ -1,0 +1,218 @@
+"""HumanML3D text-to-motion evaluation suite.
+
+Capability parity with ``utils/t2m_eval_tools.py``: matching score /
+R-precision over text-motion co-embeddings (:129-181), FID (:183-207),
+Diversity (:209-218), MultiModality (:220-240), replication statistics
+with 95% CI (:242-262), and the BiGRU co-embedding evaluator networks
+(:267-898, dim_pose 623) re-implemented in flax.
+
+The evaluator networks are frozen oracles trained contrastively
+(the reference loads an external checkpoint,
+h3d_diffusion_new_trainer.py:833-849); the framework ships the
+architecture + a training step so the oracle can be reproduced.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from syntalker_tpu.eval.metrics import frechet_distance
+
+
+# ---------------------------------------------------------------------------
+# pure-numpy metric math
+# ---------------------------------------------------------------------------
+
+
+def euclidean_distance_matrix(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    d2 = (
+        np.sum(a**2, axis=1, keepdims=True)
+        - 2 * a @ b.T
+        + np.sum(b**2, axis=1)[None]
+    )
+    return np.sqrt(np.maximum(d2, 0.0))
+
+
+def calculate_top_k(argsort_mat: np.ndarray, top_k: int = 3) -> np.ndarray:
+    """(N, N) argsorted distance rows -> (N, top_k) cumulative hit matrix."""
+    n = argsort_mat.shape[0]
+    gt = np.arange(n)[:, None]
+    hits = argsort_mat[:, :top_k] == gt
+    return np.cumsum(hits, axis=1) > 0
+
+
+def matching_and_r_precision(
+    text_emb: np.ndarray, motion_emb: np.ndarray, top_k: int = 3
+):
+    """Matching score (mean GT-pair distance) + R-precision@1..k."""
+    dist = euclidean_distance_matrix(text_emb, motion_emb)
+    matching = float(np.trace(dist)) / dist.shape[0]
+    args = np.argsort(dist, axis=1)
+    r = calculate_top_k(args, top_k).sum(axis=0) / dist.shape[0]
+    return matching, r
+
+
+def calculate_diversity(activations: np.ndarray, diversity_times: int, seed: int = 0):
+    n = activations.shape[0]
+    rng = np.random.default_rng(seed)
+    i1 = rng.choice(n, diversity_times, replace=n < diversity_times)
+    i2 = rng.choice(n, diversity_times, replace=n < diversity_times)
+    return float(np.linalg.norm(activations[i1] - activations[i2], axis=1).mean())
+
+
+def calculate_multimodality(activations: np.ndarray, multimodality_times: int, seed: int = 0):
+    """activations: (n_prompts, n_repeats, D)."""
+    n, r, _ = activations.shape
+    rng = np.random.default_rng(seed)
+    i1 = rng.choice(r, multimodality_times, replace=r < multimodality_times)
+    i2 = rng.choice(r, multimodality_times, replace=r < multimodality_times)
+    d = np.linalg.norm(activations[:, i1] - activations[:, i2], axis=2)
+    return float(d.mean())
+
+
+def calculate_activation_statistics(activations: np.ndarray):
+    return activations.mean(axis=0), np.cov(activations, rowvar=False)
+
+
+def fid_from_activations(gen: np.ndarray, gt: np.ndarray) -> float:
+    return frechet_distance(gen, gt)
+
+
+def get_metric_statistics(values: np.ndarray, replication_times: int):
+    """Mean ± 95% CI over replications (t2m_eval_tools.py:242-262)."""
+    values = np.asarray(values)
+    mean = values.mean(axis=0)
+    ci = 1.96 * values.std(axis=0) / np.sqrt(replication_times)
+    return mean, ci
+
+
+# ---------------------------------------------------------------------------
+# evaluator networks (BiGRU co-embedding, flax)
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class T2MEvalConfig:
+    dim_pose: int = 623
+    dim_word: int = 300
+    dim_pos_ohot: int = 15
+    dim_movement: int = 512
+    dim_coemb: int = 512
+    hidden: int = 1024
+    unit_length: int = 4
+
+
+class MovementConvEncoder(nn.Module):
+    """Strided conv over pose features (t2m movement encoder)."""
+
+    out_dim: int
+
+    @nn.compact
+    def __call__(self, x):
+        h = nn.Conv(512, (4,), strides=(2,), padding=((1, 1),), name="conv1")(x)
+        h = nn.leaky_relu(h, 0.2)
+        h = nn.Conv(self.out_dim, (4,), strides=(2,), padding=((1, 1),), name="conv2")(h)
+        h = nn.leaky_relu(h, 0.2)
+        return nn.Dense(self.out_dim, name="out")(h)
+
+
+class _BiGRU(nn.Module):
+    hidden: int
+
+    @nn.compact
+    def __call__(self, x, lengths):
+        fwd = nn.RNN(nn.GRUCell(self.hidden), name="fwd")
+        bwd = nn.RNN(nn.GRUCell(self.hidden), reverse=True, keep_order=True, name="bwd")
+        hf = fwd(x, seq_lengths=lengths)
+        hb = bwd(x, seq_lengths=lengths)
+        # final forward state at each sequence's true end + first backward state
+        idx = jnp.maximum(lengths - 1, 0)
+        last_f = jnp.take_along_axis(hf, idx[:, None, None].repeat(hf.shape[-1], -1), 1)[:, 0]
+        first_b = hb[:, 0]
+        return jnp.concatenate([last_f, first_b], axis=-1)
+
+
+class MotionEncoderBiGRUCo(nn.Module):
+    cfg: T2MEvalConfig
+
+    @nn.compact
+    def __call__(self, motion, m_lens):
+        """motion: (B, T, dim_pose); m_lens: (B,) valid frame counts."""
+        mov = MovementConvEncoder(self.cfg.dim_movement, name="movement")(
+            motion[..., : self.cfg.dim_pose - 4]
+        )
+        lengths = jnp.maximum(m_lens // self.cfg.unit_length, 1)
+        h = nn.Dense(self.cfg.hidden, name="input_emb")(mov)
+        h = _BiGRU(self.cfg.hidden, name="gru")(h, lengths)
+        h = nn.Dense(self.cfg.dim_coemb, name="output")(h)
+        return h
+
+
+class TextEncoderBiGRUCo(nn.Module):
+    cfg: T2MEvalConfig
+
+    @nn.compact
+    def __call__(self, word_embs, pos_ohot, cap_lens):
+        x = jnp.concatenate([word_embs, pos_ohot], axis=-1)
+        h = nn.Dense(self.cfg.hidden, name="input_emb")(x)
+        h = _BiGRU(self.cfg.hidden, name="gru")(h, cap_lens)
+        return nn.Dense(self.cfg.dim_coemb, name="output")(h)
+
+
+class T2MEvaluator:
+    """Co-embedding oracle (EvaluatorMDMWrapper, t2m_eval_tools.py:833-898)."""
+
+    def __init__(self, cfg: T2MEvalConfig = T2MEvalConfig(), params=None, rng=None):
+        self.cfg = cfg
+        self.motion_enc = MotionEncoderBiGRUCo(cfg)
+        self.text_enc = TextEncoderBiGRUCo(cfg)
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        if params is None:
+            params = {
+                "motion": self.motion_enc.init(
+                    rng, jnp.zeros((1, 16, cfg.dim_pose)), jnp.asarray([16])
+                )["params"],
+                "text": self.text_enc.init(
+                    jax.random.fold_in(rng, 1),
+                    jnp.zeros((1, 8, cfg.dim_word)),
+                    jnp.zeros((1, 8, cfg.dim_pos_ohot)),
+                    jnp.asarray([8]),
+                )["params"],
+            }
+        self.params = params
+
+    def get_motion_embeddings(self, motions, m_lens) -> np.ndarray:
+        out = self.motion_enc.apply(
+            {"params": self.params["motion"]}, jnp.asarray(motions), jnp.asarray(m_lens)
+        )
+        return np.asarray(out)
+
+    def get_co_embeddings(self, word_embs, pos_ohot, cap_lens, motions, m_lens):
+        t = self.text_enc.apply(
+            {"params": self.params["text"]},
+            jnp.asarray(word_embs),
+            jnp.asarray(pos_ohot),
+            jnp.asarray(cap_lens),
+        )
+        m = self.get_motion_embeddings(motions, m_lens)
+        return np.asarray(t), m
+
+
+def evaluate_replications(run_once, replications: int = 20) -> Dict[str, tuple]:
+    """Run `run_once(rep) -> dict[str, float|array]` N times and return
+    mean ± CI per metric (the h3d eval protocol,
+    h3d_diffusion_new_trainer.py:907-1060)."""
+    acc: Dict[str, list] = {}
+    for rep in range(replications):
+        out = run_once(rep)
+        for k, v in out.items():
+            acc.setdefault(k, []).append(v)
+    return {
+        k: get_metric_statistics(np.asarray(v), replications) for k, v in acc.items()
+    }
