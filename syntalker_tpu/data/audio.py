@@ -198,3 +198,39 @@ def onset_amplitude_features(y: np.ndarray, sr: int = 16000) -> np.ndarray:
     samples = samples[samples < len(y)]
     onset[samples] = 1.0
     return np.stack([amp, onset], axis=1)
+
+
+def melspectrogram_features(
+    y: np.ndarray, sr: int = 16000, fps: int = 30, n_mels: int = 128
+) -> np.ndarray:
+    """Per-pose-frame mel features — the reference's `audio_rep: mfcc`
+    alternative (beat_sep_lower.py:411-413; hop = sr/fps)."""
+    hop = sr // fps
+    S = stft_power(y, 2048, hop) @ mel_filterbank(sr, 2048, n_mels).T
+    return S.astype(np.float32)
+
+
+def wav2vec2_features(
+    y: np.ndarray, sr: int = 16000, fps: int = 30, model_path: str = ""
+):
+    """HF Wav2Vec2 features linearly interpolated to the pose frame rate
+    (dataloaders/utils/audio_features.py:69-155). Requires a local
+    pretrained snapshot; raises a clear error without one."""
+    if not model_path:
+        raise ValueError(
+            "wav2vec2 features need a local pretrained snapshot "
+            "(pass model_path to a downloaded facebook/wav2vec2-base-960h)"
+        )
+    import torch
+    from transformers import Wav2Vec2Model
+
+    model = Wav2Vec2Model.from_pretrained(model_path, local_files_only=True).eval()
+    with torch.no_grad():
+        hidden = model(torch.from_numpy(y[None]).float()).last_hidden_state[0]
+    n_frames = int(len(y) / sr * fps)
+    src = np.linspace(0, hidden.shape[0] - 1, n_frames)
+    lo = np.floor(src).astype(int)
+    hi = np.minimum(lo + 1, hidden.shape[0] - 1)
+    frac = (src - lo)[:, None]
+    h = hidden.numpy()
+    return (h[lo] * (1 - frac) + h[hi] * frac).astype(np.float32)

@@ -113,6 +113,33 @@ class BeatAligner:
         return float(np.mean(vals)) if vals else 0.0
 
 
+class SRGR:
+    """Semantic-relevant gesture recall (utils/metric.py:30-52, legacy BEAT
+    metric): per-frame joint recall within a threshold, weighted by the
+    frame's semantic score (scaled by 1/0.165)."""
+
+    def __init__(self, threshold: float = 0.1, joints: int = 47):
+        self.threshold = threshold
+        self.joints = joints
+        self.counter = 0
+        self.total = 0.0
+
+    def update(self, results: np.ndarray, targets: np.ndarray, semantic: np.ndarray) -> float:
+        results = results.reshape(-1, self.joints, 3)
+        targets = targets.reshape(-1, self.joints, 3)
+        semantic = semantic.reshape(-1)
+        diff = np.sum(np.abs(results - targets), axis=2)
+        success = np.where(diff < self.threshold, 1.0, 0.0)
+        success = success * (semantic[:, None] / 0.165)
+        rate = success.sum() / (success.shape[0] * success.shape[1])
+        self.counter += success.shape[0]
+        self.total += rate * success.shape[0]
+        return float(rate)
+
+    def result(self) -> float:
+        return self.total / max(self.counter, 1)
+
+
 def frechet_distance(x: np.ndarray, y: np.ndarray, eps: float = 1e-6) -> float:
     """Fréchet distance between two latent sets (N, D) / (M, D).
 
