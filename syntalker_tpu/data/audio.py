@@ -155,11 +155,14 @@ def peak_pick(
 def onset_detect_frames(y: np.ndarray, sr: int = 16000, hop: int = 512) -> np.ndarray:
     """Onset frame indices (librosa.onset.onset_detect defaults, normalized
     envelope, no backtracking)."""
+    from syntalker_tpu import native
+
     env = onset_strength(y, sr, hop)
     rng = env.max() - env.min()
     if rng > 0:
         env = (env - env.min()) / rng
-    return peak_pick(
+    picker = native.peak_pick if native.get_lib() is not None else peak_pick
+    return picker(
         env,
         pre_max=int(0.03 * sr // hop),
         post_max=int(0.0 * sr // hop) + 1,
@@ -182,7 +185,11 @@ def onset_detect_times(y: np.ndarray, sr: int = 16000, hop: int = 512) -> np.nda
 
 def amplitude_envelope(y: np.ndarray, frame_length: int = 1024) -> np.ndarray:
     """Rolling max of |x| over frame_length, stride 1, end-padded
-    (beat_sep_lower.py:395-403)."""
+    (beat_sep_lower.py:395-403). Uses the O(n) native kernel when built."""
+    from syntalker_tpu import native
+
+    if native.get_lib() is not None:
+        return native.rolling_max_abs(y, frame_length)
     if len(y) < frame_length:
         return np.full(len(y), np.abs(y).max() if len(y) else 0.0, np.float32)
     win = np.lib.stride_tricks.sliding_window_view(np.abs(y), frame_length)
