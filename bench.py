@@ -26,6 +26,15 @@ import numpy as np
 
 
 def main():
+    # persistent compilation cache: the big windowed-sampler program takes
+    # minutes to compile cold; repeated bench runs hit the cache.
+    import pathlib
+
+    cache_dir = pathlib.Path(__file__).parent / ".jax_cache"
+    cache_dir.mkdir(exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", str(cache_dir))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     from syntalker_tpu import generation as G
     from syntalker_tpu.data import joints as J
     from syntalker_tpu.data.stats import identity_pose_stats
