@@ -49,7 +49,10 @@ class MDMConfig:
     vocab_size: int = 11195  # args.word_index_num
     n_seed: int = 4  # args.pre_frames
     squeeze_scale: int = 4  # args.vqvae_squeeze_scale
+    # train-time CFG dropout: prompt p=0.3, audio/word p=0 (reference
+    # denoiser_h3d.py:58,62; the BEAT2 variant applies neither)
     cond_mask_prob: float = 0.3
+    cond_mask_prob_audio: float = 0.0
     # text-prompt (h3d) extensions
     use_prompt: bool = False
     prompt_dim: int = 256  # TMR latent dim
@@ -240,11 +243,11 @@ class MDM(nn.Module):
         text_feat = nn.Dense(c.word_feat_dim, name="text_encoder")(text_feat)
 
         b = audio_feat.shape[0]
-        if train and c.cond_mask_prob > 0 and cond_rng is not None:
+        if train and c.cond_mask_prob_audio > 0 and cond_rng is not None:
             # train-time CFG dropout of the audio+word condition
             # (denoiser_h3d.py:128-145); one Bernoulli per sample.
             drop = jax.random.bernoulli(
-                jax.random.fold_in(cond_rng, 0), c.cond_mask_prob, (b, 1, 1)
+                jax.random.fold_in(cond_rng, 0), c.cond_mask_prob_audio, (b, 1, 1)
             )
             audio_feat = audio_feat * (1.0 - drop)
             text_feat = text_feat * (1.0 - drop)
@@ -267,15 +270,20 @@ class MDM(nn.Module):
 
         prompt_feat = None
         if c.use_prompt:
+            # learned unconditional prompt embedding (denoiser_h3d.py:59,
+            # 116-122): the null condition is a trainable vector, not zeros
+            null_prompt = self.param(
+                "uncond_prompt_embedding", nn.initializers.zeros, (1, c.prompt_dim)
+            )
             if prompt is None:
-                prompt = jnp.zeros((b, c.prompt_dim))
+                prompt = jnp.tile(null_prompt, (b, 1))
             if train and c.cond_mask_prob > 0 and cond_rng is not None:
                 dropp = jax.random.bernoulli(
                     jax.random.fold_in(cond_rng, 1), c.cond_mask_prob, (b, 1)
                 )
-                prompt = prompt * (1.0 - dropp)
+                prompt = prompt * (1.0 - dropp) + null_prompt * dropp
             mask_p = jnp.asarray(uncond_prompt, jnp.float32).reshape(-1, 1)
-            prompt_feat = prompt * (1.0 - mask_p)
+            prompt_feat = prompt * (1.0 - mask_p) + null_prompt * mask_p
 
         return Conditioning(at_feat=at, seed_emb=seed_emb, prompt_feat=prompt_feat)
 
