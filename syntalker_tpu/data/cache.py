@@ -119,6 +119,22 @@ def preprocess_clip(
         "contacts": contacts.astype(np.float32),
     }
 
+    if smplx_model is not None:
+        # 623-d HumanML3D representation for the text-control (h3d) stack
+        from syntalker_tpu.data.h3d import h3d_features_from_pose
+        import jax.numpy as jnp
+
+        out["h3d"] = np.asarray(
+            h3d_features_from_pose(
+                jnp.asarray(poses),
+                jnp.asarray(betas),
+                jnp.asarray(trans),
+                smplx_model,
+                jnp.asarray(contacts),
+            ),
+            np.float32,
+        )
+
     if wav_path is not None:
         y, sr = A.load_wav_mono(wav_path, cfg.audio_sr)
         out["audio"] = A.onset_amplitude_features(y, sr)  # (S, 2)
@@ -243,6 +259,8 @@ class BeatCache:
             "emo": c["emo"][sl],
             "id": np.zeros(w.length, np.int32),
         }
+        if "h3d" in c:
+            sample["h3d"] = c["h3d"][sl].astype(np.float32)
         if "audio" in c:
             sample["audio"] = c["audio"][
                 w.audio_start : w.audio_start + w.audio_length

@@ -26,6 +26,8 @@ from syntalker_tpu.ops import rotations as rot
 
 H3D_DIM = 623
 NUM_H3D_JOINTS = 52  # 55 minus jaw + eyes
+# 52-joint selection out of the SMPL-X 55 (drop jaw 22, eyes 23/24)
+H3D_JOINT_SELECTION = tuple(range(22)) + tuple(range(25, 55))
 
 ROOT_SLICE = (0, 4)
 POS_SLICE = (4, 4 + 51 * 3)  # 157
@@ -125,6 +127,27 @@ def recover_from_ric(data: jax.Array, joints_num: int = NUM_H3D_JOINTS) -> jax.A
 # ---------------------------------------------------------------------------
 # construction (process_h3d notebooks equivalent) — JAX
 # ---------------------------------------------------------------------------
+
+
+def h3d_features_from_pose(
+    pose_aa: jax.Array,  # (T, 165)
+    betas: jax.Array,  # (300,)
+    trans: jax.Array,  # (T, 3)
+    smplx_model,
+    contacts: jax.Array,  # (T, 4)
+) -> jax.Array:
+    """SMPL-X pose -> 623-d features via the JAX FK (the on-line equivalent
+    of the process_h3d notebooks' offline featurization)."""
+    from syntalker_tpu.ops import rotations as R
+    from syntalker_tpu.ops import smplx as S
+
+    t = pose_aa.shape[0]
+    joints = S.forward_joints(
+        smplx_model, pose_aa, jnp.tile(betas[None], (t, 1)), trans
+    )[:, jnp.asarray(H3D_JOINT_SELECTION)]
+    aa = pose_aa.reshape(t, 55, 3)[:, jnp.asarray(H3D_JOINT_SELECTION)[1:]]
+    rot6d = R.axis_angle_to_rotation_6d(aa)  # (T, 51, 6)
+    return build_h3d_features(joints, rot6d, contacts)
 
 
 def build_h3d_features(

@@ -69,6 +69,35 @@ def load_pose_stats(mean_std_dir: str | Path) -> PoseStats:
     )
 
 
+@dataclasses.dataclass(frozen=True)
+class H3DStats:
+    """Normalization stats for the 623-dim representation (shipped as
+    mean_std/beatx_1-30_amass_h3d_{mean,std}.npy)."""
+
+    mean: np.ndarray  # (623,)
+    std: np.ndarray  # (623,)
+
+    def normalize(self, x):
+        return (x - self.mean) / self.std
+
+    def denormalize(self, x):
+        return x * self.std + self.mean
+
+
+def load_h3d_stats(mean_std_dir: str | Path) -> H3DStats:
+    d = Path(mean_std_dir)
+    return H3DStats(
+        mean=np.load(d / "beatx_1-30_amass_h3d_mean.npy").astype(np.float32),
+        std=np.maximum(
+            np.load(d / "beatx_1-30_amass_h3d_std.npy").astype(np.float32), 1e-6
+        ),
+    )
+
+
+def identity_h3d_stats() -> H3DStats:
+    return H3DStats(mean=np.zeros(623, np.float32), std=np.ones(623, np.float32))
+
+
 def identity_pose_stats() -> PoseStats:
     """Unit stats for tests / unnormalized runs."""
     return PoseStats(

@@ -194,6 +194,37 @@ def sample_windows(
     return jnp.concatenate([first, rest], axis=1)
 
 
+def decode_latents_h3d(
+    latents: jax.Array,  # (B, T_lat, 1536) model-space (÷scale)
+    *,
+    rvq_modules: dict,  # part -> (module, params, state)
+    h3d_stats,
+    latent_scale: float = 5.0,
+):
+    """Latents -> 623-dim HumanML3D features -> joint positions.
+
+    The text-control test path (h3d_diffusion_new_trainer.py:561-607 +
+    recover_from_ric): per-part RVQ snap+decode, scatter through the
+    623-d body-part masks, denormalize, recover global joints.
+    """
+    from syntalker_tpu.data.h3d import H3D_DIM, part_mask_623, recover_from_ric
+
+    z = latents * latent_scale
+    b = z.shape[0]
+    feats = None
+    for name, (lo, hi) in J.LATENT_SLICES.items():
+        module, params, state = rvq_modules[name]
+        part = module.apply(
+            {"params": params}, z[..., lo:hi], state, method="latent2origin"
+        )
+        if feats is None:
+            feats = jnp.zeros((b, part.shape[1], H3D_DIM), part.dtype)
+        feats = feats.at[..., jnp.asarray(part_mask_623(name))].set(part)
+    feats = h3d_stats.denormalize(feats)
+    joints = recover_from_ric(feats)
+    return {"features": feats, "joints": joints}
+
+
 def decode_latents(
     latents: jax.Array,  # (B, T_lat, 1536) model-space (÷scale)
     *,

@@ -40,14 +40,25 @@ log = logging.getLogger("syntalker")
 
 def _rvq_cfg(cfg: ExperimentConfig, part: str):
     """Body-part RVQ config sized to match the denoiser latent (one third
-    of latent_total_dim per part)."""
+    of latent_total_dim per part) and the chosen motion representation."""
     import dataclasses as _dc
 
+    from syntalker_tpu.models.rvqvae import RVQVAEConfig
     from syntalker_tpu.ops.quantize import RVQConfig
 
     code_dim = cfg.mdm.latent_total_dim // J.NUM_PARTS
     q = RVQConfig(code_dim=code_dim, nb_code=512)
-    rcfg = body_part_rvq_config(part, cfg.rvq_width, cfg.rvq_depth, q)
+    if cfg.representation == "h3d623":
+        from syntalker_tpu.data.h3d import H3D_PART_DIMS
+
+        rcfg = RVQVAEConfig(
+            input_dim=H3D_PART_DIMS[part],
+            width=cfg.rvq_width,
+            depth=cfg.rvq_depth,
+            quantizer=q,
+        )
+    else:
+        rcfg = body_part_rvq_config(part, cfg.rvq_width, cfg.rvq_depth, q)
     return _dc.replace(rcfg, output_emb_width=code_dim)
 
 
@@ -98,21 +109,56 @@ class DiffusionTrainer:
         self.optimizer = ts.make_diffusion_optimizer(cfg.train.lr, cfg.train.grad_clip)
         self.state = ts.create_train_state(mdm_params, self.optimizer, rng)
 
-        encode_latent = make_latent_encoder(
-            self.rvq, self.stats, latent_scale=cfg.latent_scale
-        )
+        if cfg.representation == "h3d623":
+            from syntalker_tpu.data.h3d import part_mask_623
+            from syntalker_tpu.data.stats import identity_h3d_stats, load_h3d_stats
 
-        def featurize(batch):
-            pose_aa = batch["pose"][..., : J.AXIS_ANGLE_DIM]
-            parts = pose_to_part_rot6d(pose_aa)
-            latent_in = encode_latent(
-                parts["upper"], parts["hands"], parts["lower"], batch["trans_v"]
+            h3d_stats = (
+                load_h3d_stats(cfg.data.mean_std_dir)
+                if Path(cfg.data.mean_std_dir).exists()
+                else identity_h3d_stats()
             )
-            return {
-                "latent_in": latent_in,
-                "audio": batch["audio"],
-                "word": batch["word"],
-            }
+            masks = {p: part_mask_623(p) for p in J.LATENT_SLICES}
+
+            def featurize(batch):
+                x = h3d_stats.normalize(batch["h3d"])
+                lat = []
+                for name in J.LATENT_SLICES:
+                    module, params, _q = self.rvq[name]
+                    lat.append(
+                        module.apply(
+                            {"params": params}, x[..., masks[name]], method="map2latent"
+                        )
+                    )
+                latent_in = jnp.concatenate(lat, axis=-1) / cfg.latent_scale
+                out = {
+                    "latent_in": latent_in,
+                    "audio": batch["audio"],
+                    "word": batch["word"],
+                }
+                if "prompt" in batch:
+                    out["prompt"] = batch["prompt"]
+                return out
+
+            self._batch_keys = ("h3d", "audio", "word")
+        else:
+            encode_latent = make_latent_encoder(
+                self.rvq, self.stats, latent_scale=cfg.latent_scale
+            )
+
+            def featurize(batch):
+                pose_aa = batch["pose"][..., : J.AXIS_ANGLE_DIM]
+                parts = pose_to_part_rot6d(pose_aa)
+                latent_in = encode_latent(
+                    parts["upper"], parts["hands"], parts["lower"], batch["trans_v"]
+                )
+                return {
+                    "latent_in": latent_in,
+                    "audio": batch["audio"],
+                    "word": batch["word"],
+                }
+
+            self._batch_keys = ("pose", "trans_v", "audio", "word")
 
         raw_step = make_diffusion_train_step(
             self.mdm,
@@ -138,7 +184,7 @@ class DiffusionTrainer:
         with self.mesh:
             for it, batch in enumerate(self.loader.epoch(epoch)):
                 batch = shard_batch(
-                    {k: batch[k] for k in ("pose", "trans_v", "audio", "word")},
+                    {k: batch[k] for k in self._batch_keys if k in batch},
                     self.mesh,
                 )
                 timer.mark_data()
@@ -188,14 +234,33 @@ class RVQTrainer:
         stats_ref = self.stats
         use_trans = part == "lower" and cfg.data.use_trans
 
-        def featurize(batch):
-            pose_aa = batch["pose"][..., : J.AXIS_ANGLE_DIM]
-            parts = pose_to_part_rot6d(pose_aa)
-            x = stats_ref.normalize_part(parts[part], part)
-            if use_trans:
-                tv = (batch["trans_v"] - stats_ref.trans_mean) / stats_ref.trans_std
-                x = jnp.concatenate([x, tv], axis=-1)
-            return x
+        if cfg.representation == "h3d623":
+            from syntalker_tpu.data.h3d import part_mask_623
+            from syntalker_tpu.data.stats import identity_h3d_stats, load_h3d_stats
+
+            h3d_stats = (
+                load_h3d_stats(cfg.data.mean_std_dir)
+                if Path(cfg.data.mean_std_dir).exists()
+                else identity_h3d_stats()
+            )
+            mask = part_mask_623(part)
+
+            def featurize(batch):
+                return h3d_stats.normalize(batch["h3d"])[..., mask]
+
+            self._batch_keys = ("h3d",)
+        else:
+
+            def featurize(batch):
+                pose_aa = batch["pose"][..., : J.AXIS_ANGLE_DIM]
+                parts = pose_to_part_rot6d(pose_aa)
+                x = stats_ref.normalize_part(parts[part], part)
+                if use_trans:
+                    tv = (batch["trans_v"] - stats_ref.trans_mean) / stats_ref.trans_std
+                    x = jnp.concatenate([x, tv], axis=-1)
+                return x
+
+            self._batch_keys = ("pose", "trans_v")
 
         raw_step = make_rvq_train_step(
             self.module,
@@ -222,7 +287,8 @@ class RVQTrainer:
             while it < total:
                 for batch in self.loader.epoch(epoch):
                     batch = shard_batch(
-                        {k: batch[k] for k in ("pose", "trans_v")}, self.mesh
+                        {k: batch[k] for k in self._batch_keys if k in batch},
+                        self.mesh,
                     )
                     self.state, metrics = self.step(self.state, batch)
                     it += 1
