@@ -179,6 +179,17 @@ class DiffusionTrainer:
                 opt_state=replicate(self.state.opt_state, self.mesh),
             )
 
+    def maybe_resume(self) -> int:
+        """Restore the full train state from cfg.train.resume or the latest
+        checkpoint in ckpt_dir. Returns the restored step (0 if fresh)."""
+        path = self.cfg.train.resume or ts.latest_checkpoint(self.cfg.train.ckpt_dir)
+        if not path:
+            return 0
+        self.state = ts.load_checkpoint(path, jax.device_get(self.state))
+        step = int(self.state.step)
+        log.info(f"resumed from {path} at step {step}")
+        return step
+
     def train_epoch(self, epoch: int) -> Dict[str, float]:
         timer = StepTimer()
         with self.mesh:

@@ -137,6 +137,35 @@ class StepTimer:
         self.t = now
 
 
+class TensorBoardWriter:
+    """Scalar logging to TensorBoard (the reference's `stat: ts` path,
+    train.py:38-44). No-op when tensorboard is unavailable."""
+
+    def __init__(self, log_dir: str | Path):
+        try:
+            from torch.utils.tensorboard import SummaryWriter
+
+            self._w = SummaryWriter(str(log_dir))
+        except Exception:
+            try:
+                import tensorflow  # noqa: F401 — tb without torch
+
+                from tensorboard.summary.writer.event_file_writer import (  # noqa
+                    EventFileWriter,
+                )
+                self._w = None
+            except Exception:
+                self._w = None
+
+    def scalar(self, tag: str, value: float, step: int):
+        if self._w is not None:
+            self._w.add_scalar(tag, value, step)
+
+    def flush(self):
+        if self._w is not None:
+            self._w.flush()
+
+
 @contextlib.contextmanager
 def profile_trace(log_dir: str | Path, enabled: bool = True):
     """jax.profiler trace (TensorBoard-viewable) around a code region."""

@@ -1,0 +1,124 @@
+"""MotionCLIP, BVH interchange, AE trainers, trackers, resume."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from syntalker_tpu.data import bvh
+from syntalker_tpu.models.eval_vae import EvalVAEConfig, VAESKConv, VQVAEConvZero
+from syntalker_tpu.models.motionclip import (
+    MotionCLIP,
+    MotionCLIPConfig,
+    clip_alignment_loss,
+)
+from syntalker_tpu.ops.smplx import PARENTS
+from syntalker_tpu.train.ae_trainer import (
+    make_eval_vae_train_step,
+    make_face_vqvae_train_step,
+)
+from syntalker_tpu.train.state import create_train_state
+from syntalker_tpu.utils.tracking import AverageMeter, EpochTracker
+
+
+class TestMotionCLIP:
+    def test_embedding_shape_and_loss(self):
+        cfg = MotionCLIPConfig(latent_dim=32, ff_size=64, num_layers=1, num_heads=2, clip_dim=16)
+        model = MotionCLIP(cfg)
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 12, 132))
+        params = model.init(jax.random.PRNGKey(1), x)["params"]
+        emb = model.apply({"params": params}, x)
+        assert emb.shape == (2, 16)
+        loss = clip_alignment_loss(emb, emb)
+        np.testing.assert_allclose(float(loss), 0.0, atol=1e-6)
+        loss2 = clip_alignment_loss(emb, -emb)
+        np.testing.assert_allclose(float(loss2), 2.0, atol=1e-5)
+
+
+class TestBVH:
+    def test_write_parse_roundtrip(self, tmp_path):
+        rng = np.random.default_rng(0)
+        t = 5
+        offsets = rng.normal(0, 0.1, (55, 3))
+        rots = rng.uniform(-40, 40, (t, 55, 3))
+        root_pos = rng.normal(0, 1, (t, 3))
+        from syntalker_tpu.data.joints import JOINT_NAMES
+
+        p = bvh.write_bvh(
+            tmp_path / "out.bvh", PARENTS, list(JOINT_NAMES), offsets, rots, root_pos
+        )
+        data = bvh.parse_bvh(p)
+        assert len(data.joints) == 55
+        assert data.frames.shape == (t, 55 * 3 + 3)
+        np.testing.assert_allclose(data.fps, 30.0, rtol=1e-4)
+        # parent structure round-trips
+        parsed_parents = [j.parent for j in data.joints]
+        # the DFS emission order may reorder siblings; root must be first
+        assert parsed_parents[0] == -1
+
+    def test_smplx_export(self, tmp_path):
+        poses = np.load("/root/reference/demo/examples/2_scott_0_1_1.npz")["poses"][:4]
+        trans = np.zeros((4, 3))
+        p = bvh.smplx_to_bvh(poses, trans, np.zeros((55, 3)), tmp_path / "m.bvh")
+        data = bvh.parse_bvh(p)
+        assert data.frames.shape[0] == 4
+
+    def test_euler_consistency(self):
+        import jax.numpy as jnp
+
+        from syntalker_tpu.ops import rotations as R
+
+        aa = np.array([[0.3, -0.2, 0.5]])
+        m = np.asarray(R.axis_angle_to_matrix(jnp.asarray(aa)))
+        eul = bvh.matrix_to_euler_zxy_deg(m)
+        from scipy.spatial.transform import Rotation
+
+        m2 = Rotation.from_euler("ZXY", eul[0], degrees=True).as_matrix()
+        np.testing.assert_allclose(m2, m[0], atol=1e-6)
+
+
+class TestAETrainers:
+    def test_eval_vae_step_reduces_loss(self):
+        model = VAESKConv(EvalVAEConfig())
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 32, 330)) * 0.1
+        params = model.init(jax.random.PRNGKey(1), x)["params"]
+        opt = optax.adam(1e-3)
+        state = create_train_state(params, opt, jax.random.PRNGKey(2))
+        step = jax.jit(make_eval_vae_train_step(model, opt))
+        losses = []
+        for _ in range(5):
+            state, m = step(state, x)
+            losses.append(float(m["loss"]))
+        assert losses[-1] < losses[0]
+
+    def test_face_vqvae_step(self):
+        model = VQVAEConvZero(input_dim=20, latent_dim=32, num_layers=1, codebook_size=16)
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 20))
+        params = model.init(jax.random.PRNGKey(1), x)["params"]
+        opt = optax.adam(1e-3)
+        state = create_train_state(params, opt, jax.random.PRNGKey(2))
+        step = jax.jit(make_face_vqvae_train_step(model, opt))
+        state, m = step(state, x)
+        assert np.isfinite(float(m["loss"]))
+        assert float(m["perplexity"]) >= 1.0
+
+
+class TestTracking:
+    def test_average_meter(self):
+        m = AverageMeter()
+        m.update(1.0)
+        m.update(3.0)
+        assert m.avg == 2.0
+
+    def test_epoch_tracker_best(self):
+        t = EpochTracker({"fid": False, "bc": True})
+        t.update("fid", "test", 5.0)
+        t.update("bc", "test", 0.5)
+        out1 = t.end_epoch(0)
+        assert "test/fid" in out1["_improved"]
+        t.update("fid", "test", 6.0)  # worse (lower is better)
+        t.update("bc", "test", 0.7)  # better (higher is better)
+        out2 = t.end_epoch(1)
+        assert "test/fid" not in out2["_improved"]
+        assert "test/bc" in out2["_improved"]
