@@ -150,8 +150,11 @@ def frechet_distance(x: np.ndarray, y: np.ndarray, eps: float = 1e-6) -> float:
     x = np.asarray(x, np.float64)
     y = np.asarray(y, np.float64)
     mu1, mu2 = x.mean(0), y.mean(0)
-    s1 = np.cov(x, rowvar=False)
-    s2 = np.cov(y, rowvar=False)
+    d = x.shape[1]
+    # degenerate single-sample sets: zero covariance (distance reduces to
+    # the squared mean gap) instead of NaNs from ddof=1
+    s1 = np.cov(x, rowvar=False) if x.shape[0] > 1 else np.zeros((d, d))
+    s2 = np.cov(y, rowvar=False) if y.shape[0] > 1 else np.zeros((d, d))
     diff = mu1 - mu2
     covmean = linalg.sqrtm(s1 @ s2)
     if not np.isfinite(covmean).all():
