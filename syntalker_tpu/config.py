@@ -56,6 +56,7 @@ class TrainConfig:
     seed: int = 2021
     ckpt_dir: str = "./outputs/ckpt"
     resume: str = ""
+    debug: bool = False  # 2-iteration epochs + ckpt round-trip (train.py:280-284)
     # mesh
     data_parallel: int = -1  # -1 = all devices
     model_parallel: int = 1

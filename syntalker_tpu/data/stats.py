@@ -98,6 +98,44 @@ def identity_h3d_stats() -> H3DStats:
     return H3DStats(mean=np.zeros(623, np.float32), std=np.ones(623, np.float32))
 
 
+def compute_pose_stats(pose_rot6d: np.ndarray, trans_v: np.ndarray) -> PoseStats:
+    """Dataset mean/std of 330-d rot6d + translation velocity — produces
+    the same artifacts as the shipped mean_std/beatx_2_330_*.npy
+    (the reference computed these offline)."""
+    return PoseStats(
+        mean_full=pose_rot6d.reshape(-1, J.ROT6D_DIM).mean(0).astype(np.float32),
+        std_full=np.maximum(
+            pose_rot6d.reshape(-1, J.ROT6D_DIM).std(0), 1e-6
+        ).astype(np.float32),
+        trans_mean=trans_v.reshape(-1, 3).mean(0).astype(np.float32),
+        trans_std=np.maximum(trans_v.reshape(-1, 3).std(0), 1e-6).astype(np.float32),
+    )
+
+
+def compute_h3d_stats(h3d_feats: np.ndarray) -> "H3DStats":
+    """Dataset mean/std of the 623-d representation (the
+    cal_mean_variance.ipynb step of process_h3d_*, README.md:166-176)."""
+    flat = h3d_feats.reshape(-1, 623)
+    return H3DStats(
+        mean=flat.mean(0).astype(np.float32),
+        std=np.maximum(flat.std(0), 1e-6).astype(np.float32),
+    )
+
+
+def compute_mean_joint_velocity(
+    joints_per_clip: list[np.ndarray], fps: int = 30
+) -> np.ndarray:
+    """Per-joint mean speed over a dataset (mix_sep.py:175+,
+    weights/mean_vel_smplxflame_30.npy) — normalizes BeatAlign velocities."""
+    sums = np.zeros(55)
+    count = 0
+    for joints in joints_per_clip:  # (T, 55, 3)
+        v = np.linalg.norm(joints[1:] - joints[:-1], axis=2) * fps
+        sums += v.sum(0)
+        count += v.shape[0]
+    return (sums / max(count, 1)).astype(np.float32)
+
+
 def identity_pose_stats() -> PoseStats:
     """Unit stats for tests / unnormalized runs."""
     return PoseStats(

@@ -94,6 +94,14 @@ class GestureEvaluator:
 
     # ------------------------------------------------------------------
 
+    @staticmethod
+    def _face_only_pose(aa: np.ndarray) -> np.ndarray:
+        """Zero all joints except jaw/eyes (the face-mesh comparison pose,
+        trainer :644-652)."""
+        out = np.zeros_like(aa)
+        out[..., 66:75] = aa[..., 66:75]
+        return out
+
     def _gt_latents(self, pose_aa, trans_v):
         parts = pose_to_part_rot6d(pose_aa)
         return self._encode_latent(
@@ -175,6 +183,8 @@ class GestureEvaluator:
         l1 = L1Div()
         align_sum, align_frames = 0.0, 0
         total_frames = 0
+        self._face_l2 = 0.0
+        self._face_lvd = 0.0
         n_clips = min(len(cache), max_clips or len(cache))
 
         for i in range(n_clips):
@@ -198,6 +208,26 @@ class GestureEvaluator:
                         jnp.asarray(np.tile(out["betas"], (n, 1))),
                     )
                 ).reshape(n, -1)
+
+                # face vertex L2 + velocity metrics (trainer :640-675):
+                # expression+jaw-only meshes of rec vs GT (face is GT-copied,
+                # so this checks the decode path stayed face-neutral)
+                exps = sample["facial"][:n]
+                face_rec = S.lbs(
+                    self.smplx_model,
+                    jnp.asarray(self._face_only_pose(out["rec_aa"][0])),
+                    jnp.asarray(np.tile(out["betas"], (n, 1))),
+                    expressions=jnp.asarray(exps),
+                )["vertices"]
+                face_tar = S.lbs(
+                    self.smplx_model,
+                    jnp.asarray(self._face_only_pose(out["gt_aa"][0])),
+                    jnp.asarray(np.tile(out["betas"], (n, 1))),
+                    expressions=jnp.asarray(exps),
+                )["vertices"]
+                self._face_l2 += float(jnp.mean((face_rec - face_tar) ** 2)) * n
+                dv = (face_rec[1:] - face_rec[:-1]) - (face_tar[1:] - face_tar[:-1])
+                self._face_lvd += float(jnp.mean(jnp.abs(dv))) * n
                 l1.update(joints.copy())
                 if self.aligner is not None and "audio" in sample:
                     onset = sample["audio"][:, 1]
@@ -242,6 +272,11 @@ class GestureEvaluator:
             else float("nan")
         )
         bc = align_sum / align_frames if align_frames else float("nan")
+        if total_frames and self.smplx_model is not None:
+            log.info(
+                f"face l2: {self._face_l2 / total_frames:.6f}, "
+                f"face lvd: {self._face_lvd / total_frames:.6f}"
+            )
         result = EvalResult(
             fid=fid,
             bc=bc,

@@ -208,6 +208,12 @@ class DiffusionTrainer:
                         f"epoch {epoch} it {it}: loss {loss:.4f} "
                         f"(data {timer.data_s*1e3:.0f}ms step {timer.step_s*1e3:.0f}ms)"
                     )
+                if self.cfg.train.debug and it >= 1:
+                    # smoke-test the checkpoint round trip each debug epoch
+                    # (the reference's --debug save/load/test cycle)
+                    path = self.save()
+                    self.state = ts.load_checkpoint(path, jax.device_get(self.state))
+                    break
         return self.tracker.end_epoch(epoch)
 
     def save(self, step: Optional[int] = None):
