@@ -86,7 +86,9 @@ def write_video(frames, out_path: str | Path, *, fps: int = 30) -> Path:
         return out_path.with_suffix(".mp4")
     except Exception as e:  # no ffmpeg backend
         log.warning(f"mp4 encode unavailable ({e}); writing GIF")
-        imageio.mimwrite(out_path.with_suffix(".gif"), frames, fps=min(fps, 25))
+        imageio.mimwrite(
+            out_path.with_suffix(".gif"), frames, duration=1000.0 / min(fps, 25)
+        )
         return out_path.with_suffix(".gif")
 
 
