@@ -57,6 +57,9 @@ class MDMConfig:
     use_prompt: bool = False
     prompt_dim: int = 256  # TMR latent dim
     dtype: jnp.dtype = jnp.float32  # compute dtype for the blocks
+    # compile the block stack as one lax.scan over stacked layer params —
+    # ~num_layers× smaller HLO (and compile time) with identical math
+    scan_blocks: bool = True
 
 
 class Conditioning(struct.PyTreeNode):
@@ -211,6 +214,26 @@ class TransformerBlock(nn.Module):
         return x + self._drop_path(h, train)
 
 
+class _ScanBlockBody(nn.Module):
+    """lax.scan body wrapper: (carry, None) -> (carry, None) around one
+    TransformerBlock, so the stack compiles as a single scanned layer."""
+
+    dim: int
+    num_heads: int
+    mlp_dim: int
+    drop_path: float
+    dtype: jnp.dtype = jnp.float32
+    train: bool = False  # static field: nn.scan drops call-time kwargs
+
+    @nn.compact
+    def __call__(self, carry, _unused):
+        out = TransformerBlock(
+            self.dim, self.num_heads, self.mlp_dim, self.drop_path,
+            dtype=self.dtype, name="block",
+        )(carry, train=self.train)
+        return out, None
+
+
 class MDM(nn.Module):
     """x0-predicting denoiser over (B, T_latent, 1536) latents."""
 
@@ -326,15 +349,33 @@ class MDM(nn.Module):
         xseq = xh.swapaxes(1, 2).reshape(b, n, c.latent_dim)
 
         xseq = xseq.astype(c.dtype)
-        for i in range(c.num_layers):
-            xseq = TransformerBlock(
+        if c.scan_blocks:
+            ScannedBlock = nn.scan(
+                _ScanBlockBody,
+                variable_axes={"params": 0},
+                split_rngs={"params": True, "dropout": True},
+                length=c.num_layers,
+                metadata_params={nn.meta.PARTITION_NAME: None},
+            )
+            xseq, _ = ScannedBlock(
                 c.latent_dim,
                 c.num_heads,
                 c.ff_size,
                 drop_path=c.dropout,
                 dtype=c.dtype,
-                name=f"block_{i}",
-            )(xseq, train=train)
+                train=train,
+                name="blocks",
+            )(xseq, None)
+        else:
+            for i in range(c.num_layers):
+                xseq = TransformerBlock(
+                    c.latent_dim,
+                    c.num_heads,
+                    c.ff_size,
+                    drop_path=c.dropout,
+                    dtype=c.dtype,
+                    name=f"block_{i}",
+                )(xseq, train=train)
         xseq = xseq.astype(jnp.float32)
 
         return nn.Dense(c.latent_total_dim, name="output_process")(xseq)

@@ -130,20 +130,26 @@ class TestMDM:
         out2 = module.apply({"params": params}, **dict(a, seed=a["seed"] + 1.0))
         assert float(jnp.max(jnp.abs(out1 - out2))) > 1e-4
 
-    def test_train_mode_stochastic(self, model):
-        module, params = model
-        a = make_inputs(jax.random.PRNGKey(6))
-        o1 = module.apply(
-            {"params": params}, **a, train=True,
-            cond_rng=jax.random.PRNGKey(1),
-            rngs={"dropout": jax.random.PRNGKey(2)},
-        )
-        o2 = module.apply(
-            {"params": params}, **a, train=True,
-            cond_rng=jax.random.PRNGKey(3),
-            rngs={"dropout": jax.random.PRNGKey(4)},
-        )
-        assert not np.allclose(np.asarray(o1), np.asarray(o2))
+    def test_train_mode_stochastic(self):
+        # high drop-path rate so stochastic depth is observable
+        cfg = MDMConfig(**{**TINY.__dict__, "dropout": 0.5, "num_layers": 3})
+        module, params = create_mdm(cfg, jax.random.PRNGKey(0), frames=FRAMES)
+        a = make_inputs(jax.random.PRNGKey(6), cfg=cfg)
+        outs = [
+            np.asarray(
+                module.apply(
+                    {"params": params}, **a, train=True,
+                    cond_rng=jax.random.PRNGKey(10 + i),
+                    rngs={"dropout": jax.random.PRNGKey(20 + i)},
+                )
+            )
+            for i in range(4)
+        ]
+        assert any(not np.allclose(outs[0], o) for o in outs[1:])
+        # eval mode is deterministic
+        e1 = module.apply({"params": params}, **a)
+        e2 = module.apply({"params": params}, **a)
+        np.testing.assert_array_equal(np.asarray(e1), np.asarray(e2))
 
     def test_prompt_variant(self):
         cfg = MDMConfig(
