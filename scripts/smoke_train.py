@@ -1,0 +1,158 @@
+"""End-to-end training smoke on real data (the shipped demo clip).
+
+Runs the full pipeline at reduced budget on one chip:
+  1. train the three body-part RVQ-VAEs (full-width, few thousand iters),
+  2. train the diffusion denoiser on the frozen RVQ latents,
+  3. generate with the trained stack and report reconstruction/latent
+     quality vs ground truth.
+
+This is a correctness artifact, not a benchmark: it checks that every
+training + generation path runs on real data without NaNs and that losses
+actually decrease. Run: python scripts/smoke_train.py [--iters N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from syntalker_tpu.config import DataConfig, ExperimentConfig, RVQTrainConfig, TrainConfig
+from syntalker_tpu.data.cache import BeatCache, ClipConfig, preprocess_clip
+from syntalker_tpu.data.features import pose_to_part_rot6d
+from syntalker_tpu.data.stats import load_pose_stats
+from syntalker_tpu.models.denoiser import MDMConfig
+from syntalker_tpu.train.loop import DiffusionTrainer, RVQTrainer
+from syntalker_tpu.utils.tracking import setup_logging
+
+NPZ = "/root/reference/demo/examples/2_scott_0_1_1.npz"
+WAV = "/root/reference/demo/examples/2_scott_0_1_1.wav"
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rvq-iters", type=int, default=1200)
+    ap.add_argument("--diff-epochs", type=int, default=12)
+    ap.add_argument("--out", type=str, default="./outputs/smoke")
+    args = ap.parse_args()
+    log = setup_logging(args.out)
+    out_dir = Path(args.out)
+
+    t_start = time.time()
+    arrays = preprocess_clip(NPZ, WAV, None, None)
+
+    # RVQ training cache: 64-frame windows, dense stride for more samples
+    rvq_cache = BeatCache(out_dir / "cache_rvq")
+    rvq_cache.add_clip("clip", arrays, ClipConfig(pose_length=64, stride=4), is_test=False)
+    rvq_cache.save_index()
+    log.info(f"rvq cache: {len(rvq_cache)} windows")
+
+    diff_cache = BeatCache(out_dir / "cache_diff")
+    diff_cache.add_clip("clip", arrays, ClipConfig(pose_length=128, stride=16), is_test=False)
+    diff_cache.save_index()
+    log.info(f"diffusion cache: {len(diff_cache)} windows")
+
+    report = {}
+
+    # ---- stage 1: RVQ-VAEs -------------------------------------------------
+    rvq_ckpts = []
+    for part in ("upper", "hands", "lower"):
+        cfg = ExperimentConfig(
+            train=TrainConfig(batch_size=32, log_period=200, seed=11,
+                              ckpt_dir=str(out_dir / "rvq")),
+            rvq_train=RVQTrainConfig(
+                body_part=part, batch_size=32, lr=2e-4, warmup_iters=100,
+                milestones=(args.rvq_iters,), save_every=10**9,
+            ),
+            data=DataConfig(mean_std_dir="/root/reference/mean_std"),
+        )
+        trainer = RVQTrainer(cfg, rvq_cache)
+        first_metrics = None
+        it = 0
+        with trainer.mesh:
+            while it < args.rvq_iters:
+                for batch in trainer.loader.epoch(it):
+                    from syntalker_tpu.parallel.mesh import shard_batch
+
+                    b = shard_batch({k: batch[k] for k in trainer._batch_keys}, trainer.mesh)
+                    trainer.state, m = trainer.step(trainer.state, b)
+                    if first_metrics is None:
+                        first_metrics = {k: float(v) for k, v in m.items()}
+                    it += 1
+                    if it % 300 == 0:
+                        log.info(f"[{part}] iter {it}: loss {float(m['loss']):.4f} "
+                                 f"recon {float(m['recon']):.4f} perp {float(m['perplexity']):.0f}")
+                    if it >= args.rvq_iters:
+                        break
+        last = {k: float(v) for k, v in m.items()}
+        path = trainer.save(args.rvq_iters)
+        rvq_ckpts.append(str(path))
+        report[f"rvq_{part}"] = {"first_loss": first_metrics["loss"], "last_loss": last["loss"],
+                                 "last_recon": last["recon"], "perplexity": last["perplexity"]}
+        log.info(f"[{part}] {report[f'rvq_{part}']}")
+        assert last["loss"] < first_metrics["loss"], f"{part} RVQ did not learn"
+
+    # ---- stage 2: diffusion -------------------------------------------------
+    cfg = ExperimentConfig(
+        mdm=MDMConfig(),  # full-size denoiser
+        train=TrainConfig(batch_size=32, log_period=10, seed=7,
+                          ckpt_dir=str(out_dir / "diff")),
+        data=DataConfig(mean_std_dir="/root/reference/mean_std", pose_length=128),
+        rvq_ckpts=tuple(rvq_ckpts),
+    )
+    dtrainer = DiffusionTrainer(cfg, diff_cache)
+    losses = []
+    for epoch in range(args.diff_epochs):
+        metrics = dtrainer.train_epoch(epoch)
+        losses.append(metrics["train/predict_x0_loss"])
+        log.info(f"diffusion epoch {epoch}: {losses[-1]:.4f}")
+    report["diffusion"] = {"first_epoch_loss": losses[0], "last_epoch_loss": losses[-1]}
+    assert losses[-1] < losses[0], "diffusion did not learn"
+    dtrainer.save(0)
+
+    # ---- stage 3: generation quality vs GT latents --------------------------
+    from syntalker_tpu import generation as G
+    from syntalker_tpu.data import joints as J
+    from syntalker_tpu.diffusion.schedule import make_diffusion
+
+    stats = load_pose_stats("/root/reference/mean_std")
+    plan = G.plan_windows(480)  # 16 s
+    pose = jnp.asarray(arrays["poses"][None, :480])
+    trans_v = jnp.asarray(arrays["trans_v"][None, :480])
+    parts = pose_to_part_rot6d(pose)
+    from syntalker_tpu.train.diffusion_trainer import make_latent_encoder
+
+    enc = make_latent_encoder(dtrainer.rvq, stats, latent_scale=5.0)
+    gt_latents = enc(parts["upper"], parts["hands"], parts["lower"], trans_v)
+
+    audio = arrays["audio"][None, : 480 * 533]
+    aw = jnp.asarray(G.window_audio(audio, plan))
+    ww = jnp.asarray(G.window_words(arrays["word"][None, :480], plan))
+    ddim = make_diffusion(steps=1000, timestep_respacing="ddim50")
+    latents = G.sample_windows(
+        dtrainer.mdm, dtrainer.state.params, ddim, plan, aw, ww,
+        gt_latents[:, : plan.pre_frames], jax.random.PRNGKey(3), sampler="ddim",
+    )
+    n = latents.shape[1]
+    lat_mse = float(jnp.mean((latents - gt_latents[:, :n]) ** 2))
+    gt_var = float(jnp.var(gt_latents[:, :n]))
+    report["generation"] = {"latent_mse": lat_mse, "gt_latent_var": gt_var}
+    log.info(f"generation: latent MSE {lat_mse:.4f} vs GT variance {gt_var:.4f}")
+
+    dec = G.decode_latents(latents, rvq_modules=dtrainer.rvq, stats=stats)
+    assert np.isfinite(np.asarray(dec["axis_angle"])).all()
+    report["wall_minutes"] = (time.time() - t_start) / 60
+    (out_dir / "report.json").write_text(json.dumps(report, indent=1))
+    log.info(f"SMOKE OK: {json.dumps(report, indent=1)}")
+
+
+if __name__ == "__main__":
+    main()

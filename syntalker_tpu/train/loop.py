@@ -86,10 +86,17 @@ def load_rvq_stack(cfg: ExperimentConfig, rng: jax.Array) -> Dict[str, tuple]:
 class DiffusionTrainer:
     """Epoch-based denoiser training (diffusion_rvqvae_trainer.py:543-571)."""
 
-    def __init__(self, cfg: ExperimentConfig, cache: BeatCache, stats: Optional[PoseStats] = None):
+    def __init__(
+        self,
+        cfg: ExperimentConfig,
+        cache: BeatCache,
+        stats: Optional[PoseStats] = None,
+        tmr_motion: Optional[tuple] = None,  # (module, params) frozen TMR
+    ):
         self.cfg = cfg
         set_random_seed(cfg.train.seed)
         rng = jax.random.PRNGKey(cfg.train.seed)
+        self.tmr_motion = tmr_motion
 
         self.mesh = make_mesh(cfg.train.data_parallel, cfg.train.model_parallel)
         self.loader = BatchLoader(cache, cfg.train.batch_size, seed=cfg.train.seed)
@@ -138,6 +145,13 @@ class DiffusionTrainer:
                 }
                 if "prompt" in batch:
                     out["prompt"] = batch["prompt"]
+                elif self.tmr_motion is not None:
+                    # self-supervised prompt channel: the frozen TMR motion
+                    # embedding of the GT clip stands in for text at train
+                    # time (h3d_diffusion_new_trainer.py:351-392)
+                    tmod, tparams = self.tmr_motion
+                    mu, _ = tmod.apply({"params": tparams}, x)
+                    out["prompt"] = jax.lax.stop_gradient(mu)
                 return out
 
             self._batch_keys = ("h3d", "audio", "word")

@@ -73,6 +73,19 @@ def test_h3d_diffusion_trainer_with_prompts(h3d_cache, tmp_path):
     assert np.isfinite(metrics["train/predict_x0_loss"])
 
 
+def test_h3d_diffusion_trainer_with_tmr_prompt(h3d_cache, tmp_path):
+    # self-supervised TMR motion embedding feeds the prompt channel
+    from syntalker_tpu.models.tmr import ActorAgnosticEncoder, TMRConfig
+
+    cfg = h3d_config(tmp_path)
+    tcfg = TMRConfig(latent_dim=16, ff_size=32, num_layers=1, num_heads=2)
+    enc = ActorAgnosticEncoder(tcfg, input_dim=623)
+    tparams = enc.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 623)))["params"]
+    trainer = DiffusionTrainer(cfg, h3d_cache, tmr_motion=(enc, tparams))
+    metrics = trainer.train_epoch(0)
+    assert np.isfinite(metrics["train/predict_x0_loss"])
+
+
 def test_h3d_decode_latents(tmp_path):
     from syntalker_tpu import generation as G
     from syntalker_tpu.models.rvqvae import create_rvqvae
