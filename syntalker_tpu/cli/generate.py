@@ -51,10 +51,7 @@ def main(argv=None):
     rng = jax.random.PRNGKey(cfg.train.seed)
     mdm, mdm_params = create_mdm(cfg.mdm, rng, frames=cfg.data.pose_length)
     if cfg.test_ckpt:
-        target = ts.TrainState(
-            step=np.zeros((), np.int32), params=mdm_params, opt_state=None, rng=rng
-        )
-        mdm_params = ts.load_checkpoint(cfg.test_ckpt, target).params
+        mdm_params = ts.load_checkpoint_raw(cfg.test_ckpt)["params"]
     rvq = load_rvq_stack(cfg, jax.random.fold_in(rng, 99))
     diffusion = make_diffusion(
         schedule=cfg.diffusion.schedule,

@@ -33,10 +33,7 @@ def build_evaluator(cfg: ExperimentConfig, smplx_model=None, eval_vae_ckpt: str 
     rng = jax.random.PRNGKey(cfg.train.seed)
     mdm, mdm_params = create_mdm(cfg.mdm, rng, frames=cfg.data.pose_length)
     if cfg.test_ckpt:
-        target = ts.TrainState(
-            step=np.zeros((), np.int32), params=mdm_params, opt_state=None, rng=rng
-        )
-        mdm_params = ts.load_checkpoint(cfg.test_ckpt, target).params
+        mdm_params = ts.load_checkpoint_raw(cfg.test_ckpt)["params"]
 
     rvq = load_rvq_stack(cfg, jax.random.fold_in(rng, 99))
     diffusion = make_diffusion(
@@ -54,10 +51,7 @@ def build_evaluator(cfg: ExperimentConfig, smplx_model=None, eval_vae_ckpt: str 
 
     ev_params = eval_vae.init(jax.random.PRNGKey(1), jnp.zeros((1, 32, 330)))["params"]
     if eval_vae_ckpt:
-        target = ts.TrainState(
-            step=np.zeros((), np.int32), params=ev_params, opt_state=None, rng=rng
-        )
-        ev_params = ts.load_checkpoint(eval_vae_ckpt, target).params
+        ev_params = ts.load_checkpoint_raw(eval_vae_ckpt)["params"]
 
     mean_vel_path = (
         Path(cfg.data.data_path) / "weights" / "mean_vel_smplxflame_30.npy"

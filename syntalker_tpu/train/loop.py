@@ -65,20 +65,22 @@ def _rvq_cfg(cfg: ExperimentConfig, part: str):
 def load_rvq_stack(cfg: ExperimentConfig, rng: jax.Array) -> Dict[str, tuple]:
     """(module, params, quantizer_state) per body part; loads checkpoints
     from cfg.rvq_ckpts when given, else fresh-initializes (for smoke runs)."""
+    from syntalker_tpu.ops.quantize import RVQState
+
     out = {}
     for i, part in enumerate(("upper", "hands", "lower")):
         rcfg = _rvq_cfg(cfg, part)
         module, params, qstate = create_rvqvae(rcfg, jax.random.fold_in(rng, i))
         if i < len(cfg.rvq_ckpts) and cfg.rvq_ckpts[i]:
-            target = ts.TrainState(
-                step=jnp.zeros((), jnp.int32),
-                params=params,
-                opt_state=None,
-                rng=rng,
-                quantizer_state=qstate,
+            raw = ts.load_checkpoint_raw(cfg.rvq_ckpts[i])
+            params = raw["params"]
+            q = raw["quantizer_state"]
+            qstate = RVQState(
+                codebook=jnp.asarray(q["codebook"]),
+                code_sum=jnp.asarray(q["code_sum"]),
+                code_count=jnp.asarray(q["code_count"]),
+                initialized=jnp.asarray(q["initialized"]),
             )
-            restored = ts.load_checkpoint(cfg.rvq_ckpts[i], target)
-            params, qstate = restored.params, restored.quantizer_state
         out[part] = (module, params, qstate)
     return out
 

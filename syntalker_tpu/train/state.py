@@ -68,6 +68,18 @@ def load_checkpoint(ckpt_path: str | Path, target: TrainState) -> TrainState:
         return ckptr.restore(Path(ckpt_path).absolute(), target)
 
 
+def load_checkpoint_raw(ckpt_path: str | Path) -> dict:
+    """Restore without a target pytree (nested dicts of numpy arrays).
+
+    For consumers that need only a subset of the saved train state — e.g.
+    loading frozen RVQ params+codebooks into an inference stack without
+    reconstructing the optimizer tree."""
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as ckptr:
+        return ckptr.restore(Path(ckpt_path).absolute())
+
+
 def latest_checkpoint(ckpt_dir: str | Path) -> Optional[Path]:
     d = Path(ckpt_dir)
     if not d.exists():

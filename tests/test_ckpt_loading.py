@@ -1,0 +1,55 @@
+"""Checkpoint save → partial (raw) restore into inference stacks."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from syntalker_tpu.config import DataConfig, ExperimentConfig, RVQTrainConfig, TrainConfig
+from syntalker_tpu.models.denoiser import MDMConfig
+
+
+def test_rvq_ckpt_roundtrip_into_stack(tmp_path):
+    from syntalker_tpu.data.cache import BeatCache, ClipConfig, preprocess_clip
+    from syntalker_tpu.train.loop import RVQTrainer, load_rvq_stack
+
+    arrays = preprocess_clip(
+        "/root/reference/demo/examples/2_scott_0_1_1.npz",
+        "/root/reference/demo/examples/2_scott_0_1_1.wav",
+        None,
+        None,
+    )
+    arrays = {k: (v[:480] if v.ndim and v.shape[0] > 480 and k != "audio" else v) for k, v in arrays.items()}
+    arrays["audio"] = arrays["audio"][: 16 * 16000]
+    cache = BeatCache(tmp_path / "c")
+    cache.add_clip("clip", arrays, ClipConfig(pose_length=64, stride=32), is_test=False)
+    cache.save_index()
+
+    cfg = ExperimentConfig(
+        mdm=MDMConfig(
+            latent_total_dim=48, latent_dim=32, ff_size=64, num_layers=1,
+            num_heads=2, rope_heads=4, audio_feat_dim=16, word_feat_dim=16,
+            word_embed_dim=8, vocab_size=64,
+        ),
+        train=TrainConfig(batch_size=8, ckpt_dir=str(tmp_path / "ckpt")),
+        rvq_train=RVQTrainConfig(batch_size=8, body_part="upper", save_every=10**9),
+        rvq_width=32,
+        rvq_depth=1,
+        data=DataConfig(mean_std_dir="/nonexistent"),
+    )
+    trainer = RVQTrainer(cfg, cache)
+    trainer.train(total_iters=2)
+    path = trainer.save(2)
+
+    cfg2 = ExperimentConfig(**{**cfg.__dict__, "rvq_ckpts": (str(path),)})
+    stack = load_rvq_stack(cfg2, jax.random.PRNGKey(0))
+    _mod, params, qstate = stack["upper"]
+    assert bool(qstate.initialized)
+    # loaded params match the trained ones
+    trained = jax.device_get(trainer.state.params)
+    loaded_leaf = jax.tree.leaves(params)[0]
+    trained_leaf = jax.tree.leaves(trained)[0]
+    np.testing.assert_allclose(np.asarray(loaded_leaf), np.asarray(trained_leaf))
+    np.testing.assert_allclose(
+        np.asarray(qstate.codebook),
+        np.asarray(jax.device_get(trainer.state.quantizer_state.codebook)),
+    )
