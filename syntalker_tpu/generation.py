@@ -32,6 +32,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from syntalker_tpu.data import joints as J
+from syntalker_tpu.diffusion.cfg import make_bodypart_cfg_model_fn
 from syntalker_tpu.diffusion.core import ddim_sample, ddpm_sample
 from syntalker_tpu.diffusion.schedule import DiffusionParams
 from syntalker_tpu.models.denoiser import MDM, Conditioning
@@ -158,8 +159,6 @@ def sample_windows(
             cond = encode(audio, word, seed)
             model_fn = lambda x, t: denoise_fn(x, t, cond)  # noqa: E731
         else:
-            from syntalker_tpu.diffusion.cfg import make_bodypart_cfg_model_fn
-
             cond_audio = encode(audio, word, seed, uncond_prompt=True)
             uncond = encode(audio, word, seed, uncond_audio=True, uncond_prompt=True)
             part_conds = {}

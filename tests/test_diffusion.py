@@ -138,14 +138,10 @@ class TestCFG:
         # pseudo-denoiser: output = broadcast of at_feat mean (so branches
         # with different conditioning give different constants)
         def fn(x, t, cond):
-            val = jnp.mean(cond.at_feat, axis=(1, 2), keepdims=True)
-            return jnp.ones_like(x) * val[:, :, None if False else 0][..., None]
-
-        def fn2(x, t, cond):
             val = jnp.mean(cond.at_feat, axis=(1, 2))  # (B,)
             return jnp.ones_like(x) * val[:, None, None]
 
-        return fn2
+        return fn
 
     def _cond(self, v, b=2):
         from syntalker_tpu.models.denoiser import Conditioning
