@@ -118,11 +118,13 @@ class ConvEncoder(nn.Module):
                 padding=((c.stride_t // 2, c.stride_t // 2),),
                 name=f"down_{i}",
             )(h)
+            # NB: the reference's Resnet1D defaults to reverse_dilation=True
+            # (resnet.py:77), so encoder blocks run dilations [9, 3, 1] too
             h = Resnet1D(
                 c.width,
                 c.depth,
                 c.dilation_growth_rate,
-                reverse_dilation=False,
+                reverse_dilation=True,
                 dropout_rate=c.dropout_rate,
                 name=f"res_{i}",
             )(h, train=train)
