@@ -95,6 +95,24 @@ def make_diffusion_train_step(
     return step
 
 
+def calibrate_latent_scale(
+    rvq_modules: dict, stats, parts: Dict[str, jax.Array], trans_v: jax.Array,
+    *, target_std: float = 1.0,
+) -> float:
+    """Measure the std of the concatenated RVQ latents on a sample batch and
+    return the divisor that normalizes them to `target_std`.
+
+    The reference hardcodes vqvae_latent_scale=5 — a value implicitly tied
+    to ITS pretrained encoders' output scale (the diffusion x0 must be
+    ~unit-variance for the cosine noise schedule to cover the right SNR
+    range). Freshly trained encoders have a different scale; calibrate once
+    after RVQ training and store the value in the experiment config.
+    """
+    enc = make_latent_encoder(rvq_modules, stats, latent_scale=1.0)
+    lat = enc(parts["upper"], parts["hands"], parts["lower"], trans_v)
+    return float(jnp.std(lat)) / target_std
+
+
 def make_latent_encoder(rvq_modules: dict, stats, *, latent_scale: float = 5.0):
     """Build the pose->latent featurizer used by the diffusion data path.
 

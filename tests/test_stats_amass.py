@@ -84,3 +84,43 @@ class TestAMASS:
         assert run1 == run2
         names = {n for n, _ in run1}
         assert names == {"a", "b"}
+
+
+class TestLatentCalibration:
+    def test_calibrate_latent_scale(self):
+        import jax
+        import jax.numpy as jnp
+
+        from syntalker_tpu.config import body_part_rvq_config
+        from syntalker_tpu.data.stats import identity_pose_stats
+        from syntalker_tpu.models.rvqvae import create_rvqvae
+        from syntalker_tpu.ops.quantize import RVQConfig
+        from syntalker_tpu.train.diffusion_trainer import (
+            calibrate_latent_scale,
+            make_latent_encoder,
+        )
+
+        rng = jax.random.PRNGKey(0)
+        q = RVQConfig(num_quantizers=2, nb_code=16, code_dim=24)
+        rvq = {}
+        for i, part in enumerate(("upper", "hands", "lower")):
+            cfg = body_part_rvq_config(part, width=16, depth=1, quantizer=q)
+            import dataclasses
+
+            cfg = dataclasses.replace(cfg, output_emb_width=24)
+            module, params, state = create_rvqvae(cfg, jax.random.fold_in(rng, i))
+            rvq[part] = (module, params, state)
+        stats = identity_pose_stats()
+        parts = {
+            "upper": jax.random.normal(rng, (2, 16, 78)),
+            "hands": jax.random.normal(rng, (2, 16, 180)),
+            "lower": jax.random.normal(rng, (2, 16, 54)),
+        }
+        tv = jnp.zeros((2, 16, 3))
+        scale = calibrate_latent_scale(rvq, stats, parts, tv)
+        assert scale > 0
+        enc = make_latent_encoder(rvq, stats, latent_scale=scale)
+        lat = enc(parts["upper"], parts["hands"], parts["lower"], tv)
+        import numpy as np
+
+        np.testing.assert_allclose(float(jnp.std(lat)), 1.0, rtol=1e-3)
