@@ -101,13 +101,26 @@ def main():
         assert last["loss"] < first_metrics["loss"], f"{part} RVQ did not learn"
 
     # ---- stage 2: diffusion -------------------------------------------------
+    # calibrate the latent normalizer on the freshly trained encoders
+    from syntalker_tpu.train.diffusion_trainer import calibrate_latent_scale
+    from syntalker_tpu.train.loop import load_rvq_stack
+
+    stats = load_pose_stats("/root/reference/mean_std")
     cfg = ExperimentConfig(
         mdm=MDMConfig(),  # full-size denoiser
-        train=TrainConfig(batch_size=32, log_period=10, seed=7,
+        train=TrainConfig(batch_size=32, log_period=50, seed=7,
                           ckpt_dir=str(out_dir / "diff")),
         data=DataConfig(mean_std_dir="/root/reference/mean_std", pose_length=128),
         rvq_ckpts=tuple(rvq_ckpts),
     )
+    rvq_stack = load_rvq_stack(cfg, jax.random.PRNGKey(0))
+    sample_parts = pose_to_part_rot6d(jnp.asarray(arrays["poses"][None, :512]))
+    lat_scale = calibrate_latent_scale(
+        rvq_stack, stats, sample_parts, jnp.asarray(arrays["trans_v"][None, :512])
+    )
+    log.info(f"calibrated latent_scale: {lat_scale:.3f}")
+    report["latent_scale"] = lat_scale
+    cfg = ExperimentConfig(**{**cfg.__dict__, "latent_scale": lat_scale})
     dtrainer = DiffusionTrainer(cfg, diff_cache)
     losses = []
     for epoch in range(args.diff_epochs):
@@ -123,14 +136,13 @@ def main():
     from syntalker_tpu.data import joints as J
     from syntalker_tpu.diffusion.schedule import make_diffusion
 
-    stats = load_pose_stats("/root/reference/mean_std")
     plan = G.plan_windows(480)  # 16 s
     pose = jnp.asarray(arrays["poses"][None, :480])
     trans_v = jnp.asarray(arrays["trans_v"][None, :480])
     parts = pose_to_part_rot6d(pose)
     from syntalker_tpu.train.diffusion_trainer import make_latent_encoder
 
-    enc = make_latent_encoder(dtrainer.rvq, stats, latent_scale=5.0)
+    enc = make_latent_encoder(dtrainer.rvq, stats, latent_scale=lat_scale)
     gt_latents = enc(parts["upper"], parts["hands"], parts["lower"], trans_v)
 
     audio = arrays["audio"][None, : 480 * 533]
@@ -147,8 +159,14 @@ def main():
     report["generation"] = {"latent_mse": lat_mse, "gt_latent_var": gt_var}
     log.info(f"generation: latent MSE {lat_mse:.4f} vs GT variance {gt_var:.4f}")
 
-    dec = G.decode_latents(latents, rvq_modules=dtrainer.rvq, stats=stats)
+    dec = G.decode_latents(
+        latents, rvq_modules=dtrainer.rvq, stats=stats, latent_scale=lat_scale
+    )
     assert np.isfinite(np.asarray(dec["axis_angle"])).all()
+    gt6d = parts["full"][:, : dec["rot6d"].shape[1]]
+    rot_mse = float(jnp.mean((dec["rot6d"] - gt6d) ** 2))
+    report["generation"]["rot6d_mse_vs_gt"] = rot_mse
+    log.info(f"generation: rot6d MSE vs GT {rot_mse:.4f}")
     report["wall_minutes"] = (time.time() - t_start) / 60
     (out_dir / "report.json").write_text(json.dumps(report, indent=1))
     log.info(f"SMOKE OK: {json.dumps(report, indent=1)}")
