@@ -75,6 +75,66 @@ def render_stick_figure(
     return write_video(frames, out_path, fps=fps)
 
 
+def _render_chunk(args):
+    """Worker: render a chunk of frames to RGB arrays (no shared state)."""
+    joints_chunk, parents, center, radius, figsize, title, offset = args
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    out = []
+    fig = plt.figure(figsize=(figsize, figsize))
+    ax = fig.add_subplot(111, projection="3d")
+    for t in range(joints_chunk.shape[0]):
+        ax.cla()
+        ax.set_xlim(center[0] - radius, center[0] + radius)
+        ax.set_ylim(center[2] - radius, center[2] + radius)
+        ax.set_zlim(center[1] - radius, center[1] + radius)
+        ax.set_axis_off()
+        if title:
+            ax.set_title(f"{title} f{offset + t}")
+        j = joints_chunk[t]
+        for c in range(1, len(parents)):
+            p = parents[c]
+            ax.plot([j[p, 0], j[c, 0]], [j[p, 2], j[c, 2]], [j[p, 1], j[c, 1]],
+                    "b-", lw=1.2)
+        fig.canvas.draw()
+        out.append(np.asarray(fig.canvas.buffer_rgba())[..., :3].copy())
+    plt.close(fig)
+    return out
+
+
+def render_stick_figure_parallel(
+    joints: np.ndarray,
+    out_path: str | Path,
+    *,
+    fps: int = 30,
+    parents: np.ndarray = PARENTS,
+    workers: int = 4,
+    figsize: int = 4,
+    title: str = "",
+) -> Path:
+    """Multiprocess frame rendering (utils/fast_render.py:129-266 parity):
+    frames are rendered in a worker pool, then encoded."""
+    import multiprocessing as mp
+
+    joints = np.asarray(joints)
+    center = joints.mean(axis=(0, 1))
+    radius = float(np.abs(joints - center).max()) * 1.2 + 1e-6
+    chunks = np.array_split(np.arange(joints.shape[0]), workers)
+    jobs = [
+        (joints[c], parents, center, radius, figsize, title, int(c[0]))
+        for c in chunks
+        if len(c)
+    ]
+    ctx = mp.get_context("spawn")
+    with ctx.Pool(len(jobs)) as pool:
+        results = pool.map(_render_chunk, jobs)
+    frames = [f for chunk in results for f in chunk]
+    return write_video(frames, out_path, fps=fps)
+
+
 def write_video(frames, out_path: str | Path, *, fps: int = 30) -> Path:
     """Encode frames to mp4 when ffmpeg is available, else GIF."""
     import imageio
