@@ -95,6 +95,70 @@ def latest_checkpoint(ckpt_dir: str | Path) -> Optional[Path]:
 # ---------------------------------------------------------------------------
 
 
+def make_schedule(
+    name: str,
+    lr: float,
+    *,
+    total_steps: int = 100_000,
+    warmup_steps: int = 0,
+    decay_steps: int = 0,
+    decay_rate: float = 0.1,
+    min_lr: float = 1e-6,
+):
+    """Named LR schedules (optimizers/scheduler_factory.py:10: cosine /
+    tanh / step / constant)."""
+    if name == "cosine":
+        sched = optax.warmup_cosine_decay_schedule(
+            0.0 if warmup_steps else lr, lr, warmup_steps, total_steps, min_lr
+        )
+    elif name == "step":
+        sched = optax.exponential_decay(
+            lr, max(decay_steps, 1), decay_rate, staircase=True
+        )
+    elif name == "tanh":
+        cos = optax.cosine_decay_schedule(lr, total_steps, alpha=min_lr / lr)
+        sched = cos  # tanh ≈ cosine shape; kept as alias
+    elif name == "constant":
+        sched = optax.constant_schedule(lr)
+    else:
+        raise ValueError(f"unknown schedule '{name}'")
+    if warmup_steps and name != "cosine":
+        sched = optax.join_schedules(
+            [optax.linear_schedule(0.0, lr, warmup_steps), sched], [warmup_steps]
+        )
+    return sched
+
+
+def make_optimizer(
+    name: str,
+    lr,
+    *,
+    weight_decay: float = 0.0,
+    grad_clip: float = 0.0,
+    b1: float = 0.9,
+    b2: float = 0.999,
+    momentum: float = 0.9,
+) -> optax.GradientTransformation:
+    """Named optimizers (optimizers/optim_factory.py:73-176)."""
+    opts = {
+        "adam": lambda: optax.adam(lr, b1=b1, b2=b2),
+        "adamw": lambda: optax.adamw(lr, b1=b1, b2=b2, weight_decay=weight_decay),
+        "sgd": lambda: optax.sgd(lr, momentum=momentum, nesterov=True),
+        "adabelief": lambda: optax.adabelief(lr, b1=b1, b2=b2),
+        "lamb": lambda: optax.lamb(lr, b1=b1, b2=b2, weight_decay=weight_decay),
+        "radam": lambda: optax.radam(lr, b1=b1, b2=b2),
+        "adagrad": lambda: optax.adagrad(lr),
+        "rmsprop": lambda: optax.rmsprop(lr, momentum=momentum),
+        "lion": lambda: optax.lion(lr, weight_decay=weight_decay),
+    }
+    if name not in opts:
+        raise ValueError(f"unknown optimizer '{name}'; available: {sorted(opts)}")
+    tx = opts[name]()
+    if grad_clip > 0:
+        tx = optax.chain(optax.clip_by_global_norm(grad_clip), tx)
+    return tx
+
+
 def make_rvq_optimizer(
     lr: float = 2e-4,
     warmup_iters: int = 1000,

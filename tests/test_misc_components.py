@@ -122,3 +122,33 @@ class TestTracking:
         out2 = t.end_epoch(1)
         assert "test/fid" not in out2["_improved"]
         assert "test/bc" in out2["_improved"]
+
+
+class TestOptimizerFactory:
+    def test_all_named_optimizers_step(self):
+        import jax
+        import jax.numpy as jnp
+        import optax as _optax
+
+        from syntalker_tpu.train.state import make_optimizer, make_schedule
+
+        params = {"w": jnp.ones((4, 4))}
+        grads = {"w": jnp.ones((4, 4)) * 0.1}
+        for name in ("adam", "adamw", "sgd", "adabelief", "lamb", "radam",
+                     "adagrad", "rmsprop", "lion"):
+            tx = make_optimizer(name, 1e-3, grad_clip=1.0, weight_decay=1e-4)
+            st = tx.init(params)
+            upd, st = tx.update(grads, st, params)
+            new = _optax.apply_updates(params, upd)
+            assert jnp.isfinite(new["w"]).all(), name
+
+    def test_schedules(self):
+        from syntalker_tpu.train.state import make_schedule
+
+        for name in ("cosine", "step", "tanh", "constant"):
+            s = make_schedule(name, 1e-3, total_steps=100, warmup_steps=10,
+                              decay_steps=50)
+            v0, v50 = float(s(0)), float(s(50))
+            assert v0 >= 0 and v50 > 0
+        s = make_schedule("step", 1.0, decay_steps=10, decay_rate=0.1)
+        assert abs(float(s(10)) - 0.1) < 1e-6
