@@ -24,7 +24,6 @@ import numpy as np
 from syntalker_tpu import generation as G
 from syntalker_tpu.cli.common import base_parser, load_smplx_if_available, setup
 from syntalker_tpu.data import audio as A
-from syntalker_tpu.data import joints as J
 from syntalker_tpu.data.stats import identity_pose_stats, load_pose_stats
 from syntalker_tpu.data.textgrid import words_tier
 from syntalker_tpu.data.vocab import Vocab, words_to_frame_ids

@@ -28,7 +28,6 @@ from typing import Dict, List, Optional
 import numpy as np
 
 from syntalker_tpu.data import audio as A
-from syntalker_tpu.data import joints as J
 from syntalker_tpu.data.vocab import Vocab, words_to_frame_ids
 from syntalker_tpu.data.textgrid import words_tier
 

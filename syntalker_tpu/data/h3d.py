@@ -22,7 +22,6 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from syntalker_tpu.ops import rotations as rot
 
 H3D_DIM = 623
 NUM_H3D_JOINTS = 52  # 55 minus jaw + eyes

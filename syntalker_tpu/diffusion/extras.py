@@ -14,7 +14,7 @@ Covers the parts of ``diffusion/`` outside the shipped hot path:
 
 from __future__ import annotations
 
-from typing import Callable, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -24,7 +24,6 @@ from syntalker_tpu.diffusion.core import (
     ModelFn,
     predict_eps_from_xstart,
     q_posterior_mean,
-    q_sample,
 )
 from syntalker_tpu.diffusion.schedule import DiffusionParams
 

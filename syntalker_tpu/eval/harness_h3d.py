@@ -9,7 +9,6 @@ co-embedding oracle over N replications (mean ± 95% CI).
 
 from __future__ import annotations
 
-import dataclasses
 import logging
 from typing import Dict, List, Optional
 

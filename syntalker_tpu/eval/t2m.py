@@ -15,7 +15,7 @@ architecture + a training step so the oracle can be reproduced.
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, Optional
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

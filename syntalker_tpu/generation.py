@@ -25,7 +25,7 @@ TPU-first structure (SURVEY.md §5 long-context):
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Dict, Optional
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
@@ -35,7 +35,7 @@ from syntalker_tpu.data import joints as J
 from syntalker_tpu.diffusion.cfg import make_bodypart_cfg_model_fn
 from syntalker_tpu.diffusion.core import ddim_sample, ddpm_sample
 from syntalker_tpu.diffusion.schedule import DiffusionParams
-from syntalker_tpu.models.denoiser import MDM, Conditioning
+from syntalker_tpu.models.denoiser import MDM
 from syntalker_tpu.ops import rotations as rot
 
 

@@ -21,7 +21,6 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from flax import linen as nn
 
 from syntalker_tpu.models.skeleton import (

@@ -14,7 +14,7 @@ into the same jit when the RVQ params are available (see
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, Optional
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

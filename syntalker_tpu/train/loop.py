@@ -8,14 +8,12 @@ Python loop only moves host batches and records metrics.
 
 from __future__ import annotations
 
-import dataclasses
 import logging
 from pathlib import Path
 from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from syntalker_tpu.config import ExperimentConfig, body_part_rvq_config
 from syntalker_tpu.data import joints as J
@@ -23,8 +21,8 @@ from syntalker_tpu.data.cache import BatchLoader, BeatCache
 from syntalker_tpu.data.features import pose_to_part_rot6d
 from syntalker_tpu.data.stats import PoseStats, identity_pose_stats, load_pose_stats
 from syntalker_tpu.diffusion.schedule import make_diffusion
-from syntalker_tpu.models.denoiser import MDM, create_mdm
-from syntalker_tpu.models.rvqvae import RVQVAE, create_rvqvae
+from syntalker_tpu.models.denoiser import create_mdm
+from syntalker_tpu.models.rvqvae import create_rvqvae
 from syntalker_tpu.parallel.mesh import make_mesh, replicate, shard_batch
 from syntalker_tpu.train.diffusion_trainer import (
     DiffusionTrainConfig,
