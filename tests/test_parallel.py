@@ -1,0 +1,100 @@
+"""Parallelism correctness: sharded execution must be numerically
+equivalent to single-device execution (the reference's DDP could fork
+EMA codebooks per replica — ours must not, by construction)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from syntalker_tpu.ops.quantize import RVQConfig, init_rvq_state, rvq_forward
+from syntalker_tpu.parallel.mesh import make_mesh, replicate, shard_batch, shard_params
+
+CFG = RVQConfig(num_quantizers=3, nb_code=32, code_dim=16, quantize_dropout_prob=0.0)
+
+
+class TestShardedQuantizer:
+    def test_codebook_update_identical_under_data_sharding(self):
+        # One global batch, executed (a) on one device, (b) sharded over the
+        # 8-device data axis. The EMA counts/sums are global reductions, so
+        # the resulting codebooks must match to float tolerance.
+        x = jax.random.normal(jax.random.PRNGKey(0), (16, 8, 16))
+        state = init_rvq_state(CFG)
+        rng = jax.random.PRNGKey(1)
+
+        f = jax.jit(lambda x, s: rvq_forward(x, s, CFG, train=True, rng=rng).state)
+        single = f(x, state)
+
+        mesh = make_mesh(data=8, model=1)
+        with mesh:
+            xs = jax.device_put(x, NamedSharding(mesh, P("data")))
+            ss = replicate(state, mesh)
+            sharded = f(xs, ss)
+
+        np.testing.assert_allclose(
+            np.asarray(single.codebook), np.asarray(sharded.codebook), atol=2e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(single.code_count), np.asarray(sharded.code_count), atol=1e-5
+        )
+
+    def test_quantized_outputs_match(self):
+        x = jax.random.normal(jax.random.PRNGKey(2), (16, 4, 16))
+        state = init_rvq_state(CFG)
+        state = rvq_forward(x, state, CFG, train=True, rng=jax.random.PRNGKey(3)).state
+
+        f = jax.jit(lambda x: rvq_forward(x, state, CFG, train=False).quantized)
+        single = f(x)
+        mesh = make_mesh(data=8, model=1)
+        with mesh:
+            sharded = f(jax.device_put(x, NamedSharding(mesh, P("data"))))
+        np.testing.assert_allclose(np.asarray(single), np.asarray(sharded), atol=1e-6)
+
+
+class TestShardedTrainStep:
+    def test_diffusion_step_loss_matches_single_device(self):
+        from syntalker_tpu.diffusion.schedule import make_diffusion
+        from syntalker_tpu.models.denoiser import MDMConfig, create_mdm
+        from syntalker_tpu.train.diffusion_trainer import (
+            DiffusionTrainConfig,
+            make_diffusion_train_step,
+        )
+        from syntalker_tpu.train.state import create_train_state, make_diffusion_optimizer
+
+        cfg = MDMConfig(
+            latent_total_dim=48, latent_dim=32, ff_size=64, num_layers=1,
+            num_heads=2, rope_heads=4, audio_feat_dim=16, word_feat_dim=16,
+            word_embed_dim=8, vocab_size=32, dropout=0.0,
+        )
+        frames = 32
+        rng = jax.random.PRNGKey(0)
+        module, params = create_mdm(cfg, rng, frames=frames)
+        diffusion = make_diffusion(steps=8)
+        opt = make_diffusion_optimizer()
+        step = jax.jit(make_diffusion_train_step(module, diffusion, opt, DiffusionTrainConfig()))
+
+        b = 16
+        batch = {
+            "latent_in": jax.random.normal(rng, (b, frames // 4, 48)),
+            "audio": jax.random.normal(jax.random.fold_in(rng, 1), (b, 533 * frames, 2)),
+            "word": jnp.zeros((b, frames), jnp.int32),
+        }
+        state = create_train_state(params, opt, rng)
+        _, m_single = step(state, batch)
+
+        mesh = make_mesh(data=4, model=2)
+        with mesh:
+            state_s = state.replace(
+                params=shard_params(params, mesh),
+                opt_state=replicate(state.opt_state, mesh),
+                step=replicate(state.step, mesh),
+                rng=replicate(state.rng, mesh),
+            )
+            batch_s = shard_batch(batch, mesh)
+            _, m_sharded = step(state_s, batch_s)
+
+        np.testing.assert_allclose(
+            float(m_single["predict_x0_loss"]),
+            float(m_sharded["predict_x0_loss"]),
+            rtol=2e-4,
+        )
