@@ -47,8 +47,15 @@ def make_mesh(
 def shard_batch(batch: Any, mesh: Mesh) -> Any:
     """Shard every leaf's leading axis over the data axis."""
     sharding = NamedSharding(mesh, P("data"))
+    n_data = mesh.shape["data"]
 
     def put(x):
+        if x.shape[0] % n_data:
+            raise ValueError(
+                f"batch size {x.shape[0]} not divisible by the data axis "
+                f"({n_data} devices); pick train.batch_size as a multiple, "
+                f"or shrink the mesh with train.data_parallel"
+            )
         return jax.device_put(x, sharding)
 
     return jax.tree.map(put, batch)
