@@ -10,10 +10,10 @@ from __future__ import annotations
 
 import logging
 
+import syntalker_tpu.components  # noqa: F401 — populate registries
 from syntalker_tpu.cli.common import base_parser, load_smplx_if_available, setup
-from syntalker_tpu.data.beat_builder import build_beat_cache
 from syntalker_tpu.data.cache import ClipConfig
-from syntalker_tpu.train.loop import DiffusionTrainer
+from syntalker_tpu.registry import DATASETS, TRAINERS
 
 log = logging.getLogger("syntalker")
 
@@ -29,7 +29,8 @@ def main(argv=None):
         pose_length=cfg.data.pose_length,
         stride=cfg.data.stride,
     )
-    train_cache, _vocab = build_beat_cache(
+    build_cache = DATASETS.get(cfg.data.dataset)
+    train_cache, _vocab = build_cache(
         cfg.data.data_path,
         cfg.data.cache_path,
         split="train",
@@ -38,7 +39,7 @@ def main(argv=None):
         smplx_model=smplx_model,
     )
 
-    trainer = DiffusionTrainer(cfg, train_cache)
+    trainer = TRAINERS.get(cfg.trainer)(cfg, train_cache)
     for epoch in range(cfg.train.epochs):
         metrics = trainer.train_epoch(epoch)
         log.info(f"epoch {epoch}: {metrics}")

@@ -91,6 +91,7 @@ class ExperimentConfig:
     train: TrainConfig = dataclasses.field(default_factory=TrainConfig)
     rvq_train: RVQTrainConfig = dataclasses.field(default_factory=RVQTrainConfig)
     guidance: GuidanceConfig = dataclasses.field(default_factory=GuidanceConfig)
+    trainer: str = "diffusion_rvqvae"  # registry name (TRAINERS)
     representation: str = "beat330"  # or "h3d623" (text-control stack)
     latent_scale: float = 5.0
     pre_frames: int = 4

@@ -124,3 +124,28 @@ class TestConfig:
         assert r.get("a")() == 1
         with pytest.raises(KeyError):
             r.get("missing")
+
+
+class TestComponentRegistry:
+    def test_registries_populated(self):
+        import syntalker_tpu.components  # noqa: F401
+        from syntalker_tpu.registry import (
+            DATASETS,
+            EVAL_MODELS,
+            MODELS,
+            SAMPLERS,
+            TRAINERS,
+        )
+
+        assert "beat_sep_lower" in DATASETS.names()
+        assert {"MDM", "RVQVAE", "MotionCLIP"} <= set(MODELS.names())
+        assert {"diffusion_rvqvae", "rvq"} <= set(TRAINERS.names())
+        assert {"ddpm", "ddim", "plms"} <= set(SAMPLERS.names())
+        assert {"VAESKConv", "VQVAEConvZero"} <= set(EVAL_MODELS.names())
+
+    def test_trainer_resolution(self):
+        import syntalker_tpu.components  # noqa: F401
+        from syntalker_tpu.registry import TRAINERS
+        from syntalker_tpu.train.loop import DiffusionTrainer
+
+        assert TRAINERS.get("diffusion_rvqvae") is DiffusionTrainer
