@@ -1,0 +1,196 @@
+"""Batched motion-generation service.
+
+Production serving layer over the generation pipeline: requests (audio +
+words + optional prompts) are queued, grouped into fixed batch shapes, and
+executed together — one compiled program per (batch, windows) bucket. At
+batch 64 one v5e chip sustains ~5,300 motion-seconds/second (see
+BASELINE.md), ~20× the single-request rate, because the per-NFE launch
+overhead amortizes across the batch.
+
+The reference has no serving story (its demo handles one request at a time
+through Gradio, demo.py:700-761); this is new surface enabled by the
+batch-parallel sampler design.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import threading
+import time
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from syntalker_tpu import generation as G
+from syntalker_tpu.data import audio as A
+from syntalker_tpu.data import joints as J
+
+log = logging.getLogger("syntalker")
+
+
+@dataclasses.dataclass
+class MotionRequest:
+    audio: np.ndarray  # (S,) 16 kHz waveform
+    words: Optional[np.ndarray] = None  # (F,) frame word ids
+    request_id: str = ""
+
+
+@dataclasses.dataclass
+class MotionResult:
+    request_id: str
+    axis_angle: np.ndarray  # (T, 165)
+    trans: np.ndarray  # (T, 3)
+    latency_s: float
+
+
+class MotionGenerationService:
+    """Fixed-bucket batching server.
+
+    Requests are padded/truncated to `max_seconds` so every batch reuses one
+    compiled executable. `flush()` runs the queued requests; a background
+    thread with `max_wait_s` drives it when `start()` is used.
+    """
+
+    def __init__(
+        self,
+        *,
+        mdm,
+        mdm_params,
+        diffusion,
+        rvq_modules: dict,
+        stats,
+        max_batch: int = 16,
+        max_seconds: float = 16.0,
+        pose_length: int = 128,
+        pre_frames: int = 4,
+        latent_scale: float = 5.0,
+        sr: int = 16000,
+        fps: int = 30,
+        max_wait_s: float = 0.05,
+    ):
+        self.mdm = mdm
+        self.mdm_params = mdm_params
+        self.diffusion = diffusion
+        self.rvq_modules = rvq_modules
+        self.stats = stats
+        self.max_batch = max_batch
+        self.sr = sr
+        self.fps = fps
+        self.latent_scale = latent_scale
+        n_frames = int(max_seconds * fps)
+        self.plan = G.plan_windows(
+            n_frames, pose_length=pose_length, pre_frames=pre_frames
+        )
+        self.samples = sr // fps * self.plan.n_frames
+        self._queue: List[tuple] = []
+        self._lock = threading.Lock()
+        self._stop = threading.Event()
+        self._thread: Optional[threading.Thread] = None
+        self._rng = jax.random.PRNGKey(0)
+        self._jitted = jax.jit(self._generate_batch)
+
+    # ------------------------------------------------------------------
+
+    def _generate_batch(self, aw, ww, seed, key):
+        latents = G.sample_windows(
+            self.mdm, self.mdm_params, self.diffusion, self.plan,
+            aw, ww, seed, key, sampler="ddim",
+        )
+        dec = G.decode_latents(
+            latents,
+            rvq_modules=self.rvq_modules,
+            stats=self.stats,
+            latent_scale=self.latent_scale,
+        )
+        return dec["axis_angle"], dec["trans"]
+
+    def _prepare(self, req: MotionRequest):
+        y = np.zeros(self.samples, np.float32)
+        n = min(len(req.audio), self.samples)
+        y[:n] = req.audio[:n]
+        feats = A.onset_amplitude_features(y, self.sr)
+        words = np.zeros(self.plan.n_frames, np.int32)
+        if req.words is not None:
+            m = min(len(req.words), self.plan.n_frames)
+            words[:m] = req.words[:m]
+        return feats, words
+
+    def submit(self, req: MotionRequest) -> "threading.Event":
+        """Queue a request; returns an event set when its result is ready
+        (read from `results[request_id]`)."""
+        done = threading.Event()
+        with self._lock:
+            self._queue.append((req, done, time.perf_counter()))
+        return done
+
+    def flush(self) -> List[MotionResult]:
+        """Run up to max_batch queued requests as one device batch."""
+        with self._lock:
+            batch = self._queue[: self.max_batch]
+            self._queue = self._queue[self.max_batch :]
+        if not batch:
+            return []
+        b = len(batch)
+        feats, words = zip(*(self._prepare(r) for r, _, _ in batch))
+        audio = np.stack(feats)  # (b, S, 2)
+        word = np.stack(words)
+        # pad the device batch to the fixed bucket so one executable serves
+        # every queue depth
+        pad = self.max_batch - b
+        if pad:
+            audio = np.concatenate(
+                [audio, np.zeros((pad,) + audio.shape[1:], audio.dtype)]
+            )
+            word = np.concatenate(
+                [word, np.zeros((pad,) + word.shape[1:], word.dtype)]
+            )
+
+        aw = jnp.asarray(G.window_audio(audio, self.plan, sr=self.sr, fps=self.fps))
+        ww = jnp.asarray(G.window_words(word, self.plan))
+        seed = jnp.zeros((self.max_batch, self.plan.pre_frames, J.LATENT_DIM))
+        self._rng, key = jax.random.split(self._rng)
+        aa, trans = jax.device_get(self._jitted(aw, ww, seed, key))
+
+        out = []
+        now = time.perf_counter()
+        self.results: Dict[str, MotionResult] = getattr(self, "results", {})
+        for i, (req, done, t0) in enumerate(batch):
+            res = MotionResult(
+                request_id=req.request_id,
+                axis_angle=aa[i],
+                trans=trans[i],
+                latency_s=now - t0,
+            )
+            self.results[req.request_id] = res
+            out.append(res)
+            done.set()
+        return out
+
+    # ------------------------------------------------------------------
+
+    def start(self, max_wait_s: float = 0.05):
+        """Background batching loop: flush when the bucket fills or the
+        oldest request has waited max_wait_s."""
+
+        def loop():
+            while not self._stop.is_set():
+                with self._lock:
+                    n = len(self._queue)
+                    oldest = self._queue[0][2] if n else None
+                if n >= self.max_batch or (
+                    n and time.perf_counter() - oldest > max_wait_s
+                ):
+                    self.flush()
+                else:
+                    time.sleep(max_wait_s / 5)
+
+        self._thread = threading.Thread(target=loop, daemon=True)
+        self._thread.start()
+
+    def stop(self):
+        self._stop.set()
+        if self._thread:
+            self._thread.join(timeout=2)
