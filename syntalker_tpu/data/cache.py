@@ -267,6 +267,40 @@ class BeatCache:
         return sample
 
 
+class PrefetchLoader:
+    """Background-thread prefetch over any loader with .epoch(e): host batch
+    assembly overlaps device compute (the role of torch DataLoader workers,
+    train.py:54-61)."""
+
+    def __init__(self, loader, depth: int = 2):
+        self.loader = loader
+        self.depth = depth
+
+    def __len__(self):
+        return len(self.loader)
+
+    def epoch(self, epoch: int):
+        import queue
+        import threading
+
+        q: "queue.Queue" = queue.Queue(maxsize=self.depth)
+        _END = object()
+
+        def producer():
+            for batch in self.loader.epoch(epoch):
+                q.put(batch)
+            q.put(_END)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is _END:
+                break
+            yield item
+        t.join()
+
+
 class BatchLoader:
     """Deterministic shuffled batcher over a BeatCache (replaces the
     torch DataLoader + DistributedSampler of train.py:54-61: under pjit a

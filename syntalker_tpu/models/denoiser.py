@@ -60,6 +60,10 @@ class MDMConfig:
     # compile the block stack as one lax.scan over stacked layer params —
     # ~num_layers× smaller HLO (and compile time) with identical math
     scan_blocks: bool = True
+    # rematerialize block activations in backward (jax.checkpoint): trades
+    # ~30% more flops for O(1) activation memory across layers — enables
+    # much larger batches per chip
+    remat: bool = False
 
 
 class Conditioning(struct.PyTreeNode):
@@ -350,8 +354,9 @@ class MDM(nn.Module):
 
         xseq = xseq.astype(c.dtype)
         if c.scan_blocks:
+            body = nn.remat(_ScanBlockBody) if c.remat else _ScanBlockBody
             ScannedBlock = nn.scan(
-                _ScanBlockBody,
+                body,
                 variable_axes={"params": 0},
                 split_rngs={"params": True, "dropout": True},
                 length=c.num_layers,

@@ -98,3 +98,58 @@ class TestShardedTrainStep:
             float(m_sharded["predict_x0_loss"]),
             rtol=2e-4,
         )
+
+
+class TestMultihostHelpers:
+    def test_single_process_init(self):
+        from syntalker_tpu.parallel.multihost import init_multihost, is_primary
+
+        info = init_multihost()
+        assert info["process_count"] == 1
+        assert info["global_devices"] == 8
+        assert is_primary()
+
+
+class TestRematAndPrefetch:
+    def test_remat_forward_matches(self):
+        import jax
+        from syntalker_tpu.models.denoiser import MDMConfig, create_mdm
+
+        base = dict(
+            latent_total_dim=48, latent_dim=32, ff_size=64, num_layers=2,
+            num_heads=2, rope_heads=4, audio_feat_dim=16, word_feat_dim=16,
+            word_embed_dim=8, vocab_size=32,
+        )
+        rng = jax.random.PRNGKey(0)
+        m1, p1 = create_mdm(MDMConfig(**base), rng, frames=32)
+        m2, p2 = create_mdm(MDMConfig(**base, remat=True), rng, frames=32)
+        x = {
+            "x_t": jax.random.normal(rng, (2, 8, 48)),
+            "t": jnp.array([1, 3]),
+            "audio": jax.random.normal(rng, (2, 533 * 32, 2)),
+            "word": jnp.zeros((2, 32), jnp.int32),
+            "seed": jnp.zeros((2, 4, 48)),
+        }
+        o1 = m1.apply({"params": p1}, **x)
+        o2 = m2.apply({"params": p1}, **x)  # same params, remat wrapper
+        np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), atol=1e-6)
+        # gradients flow through the remat path
+        def loss(p):
+            return jnp.sum(m2.apply({"params": p}, **x) ** 2)
+        g = jax.grad(loss)(p1)
+        assert np.isfinite(jax.tree.leaves(g)[0]).all()
+
+    def test_prefetch_loader_equivalent(self):
+        from syntalker_tpu.data.cache import PrefetchLoader
+
+        class Fake:
+            def __len__(self):
+                return 3
+
+            def epoch(self, e):
+                for i in range(3):
+                    yield {"i": i, "e": e}
+
+        pre = PrefetchLoader(Fake(), depth=2)
+        assert [b["i"] for b in pre.epoch(0)] == [0, 1, 2]
+        assert len(pre) == 3
