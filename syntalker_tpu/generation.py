@@ -132,8 +132,17 @@ def sample_windows(
     shape = (b, lw, J.LATENT_DIM)
     sample_fn = {"ddpm": ddpm_sample, "ddim": ddim_sample}[sampler]
 
+    # timestep embeddings for the whole schedule, once per clip — keeps the
+    # table gather + MLP out of every NFE step
+    tmap = jnp.asarray(diffusion.timestep_map)
+    t_emb_all = mdm.apply({"params": mdm_params}, tmap, method="embed_timesteps")
+
     def denoise_fn(x, t, cond):
-        return mdm.apply({"params": mdm_params}, x, t, cond, method="denoise")
+        idx = jnp.searchsorted(tmap, t)  # sampled-step index per batch row
+        return mdm.apply(
+            {"params": mdm_params}, x, t, cond, method="denoise",
+            t_emb=t_emb_all[idx],
+        )
 
     def encode(audio, word, seed, *, uncond_audio=False, prompt=None, uncond_prompt=False):
         return mdm.apply(

@@ -218,6 +218,20 @@ class TransformerBlock(nn.Module):
         return x + self._drop_path(h, train)
 
 
+class _TimestepMLP(nn.Module):
+    """Sinusoidal table -> SiLU MLP (denoiser.py:231-245)."""
+
+    latent_dim: int
+
+    @nn.compact
+    def __call__(self, t: jax.Array) -> jax.Array:
+        table = _sinusoidal_table(5000, self.latent_dim)
+        e = table[t]
+        e = nn.Dense(self.latent_dim, name="fc1")(e)
+        e = nn.silu(e)
+        return nn.Dense(self.latent_dim, name="fc2")(e)
+
+
 class _ScanBlockBody(nn.Module):
     """lax.scan body wrapper: (carry, None) -> (carry, None) around one
     TransformerBlock, so the stack compiles as a single scanned layer."""
@@ -314,6 +328,15 @@ class MDM(nn.Module):
 
         return Conditioning(at_feat=at, seed_emb=seed_emb, prompt_feat=prompt_feat)
 
+    # ---- timestep embedding (precomputable outside the NFE loop) ---------
+
+    @nn.compact
+    def embed_timesteps(self, t: jax.Array) -> jax.Array:
+        """(N,) int timesteps -> (N, latent) embeddings. Timestep-only —
+        samplers precompute this for their whole schedule once per window
+        instead of inside every NFE step."""
+        return _TimestepMLP(self.cfg.latent_dim, name="time_mlp")(t)
+
     # ---- denoising step (inside the sampler scan) ------------------------
 
     @nn.compact
@@ -324,16 +347,13 @@ class MDM(nn.Module):
         cond: Conditioning,
         *,
         train: bool = False,
+        t_emb: Optional[jax.Array] = None,  # (B, latent) precomputed
     ) -> jax.Array:
         c = self.cfg
         b, n, _ = x_t.shape
 
-        # timestep embedding: sinusoidal table -> SiLU MLP (denoiser.py:231-245)
-        table = _sinusoidal_table(5000, c.latent_dim)
-        t_emb = table[t]  # (B, latent)
-        t_emb = nn.Dense(c.latent_dim, name="time_fc1")(t_emb)
-        t_emb = nn.silu(t_emb)
-        t_emb = nn.Dense(c.latent_dim, name="time_fc2")(t_emb)
+        if t_emb is None:
+            t_emb = _TimestepMLP(c.latent_dim, name="time_mlp")(t)
 
         x_emb = nn.Dense(c.latent_dim, name="input_process")(x_t)  # (B, T, 512)
         style = (cond.seed_emb + t_emb)[:, None, :].repeat(n, axis=1)
@@ -346,11 +366,14 @@ class MDM(nn.Module):
             xseq = jnp.concatenate([xseq, p], axis=-1)
             xseq = nn.Dense(c.latent_dim, name="input_process3")(xseq)
 
-        # RoPE over rope_heads sub-chunks of the embedding (denoiser.py:178-186)
+        # RoPE over rope_heads sub-chunks of the embedding (denoiser.py:178-186).
+        # Applied on (B, N, RH, hd) directly — the angle broadcast makes the
+        # head transpose unnecessary (transposes are relayouts on TPU and
+        # were a measurable cost inside the NFE loop).
         hd = c.latent_dim // c.rope_heads
-        xh = xseq.reshape(b, n, c.rope_heads, hd).swapaxes(1, 2)  # (B, RH, N, hd)
-        xh = apply_rope(xh, rope_angles(n, hd))
-        xseq = xh.swapaxes(1, 2).reshape(b, n, c.latent_dim)
+        xh = xseq.reshape(b, n, c.rope_heads, hd)
+        xh = apply_rope(xh, rope_angles(n, hd)[:, None, :])
+        xseq = xh.reshape(b, n, c.latent_dim)
 
         xseq = xseq.astype(c.dtype)
         if c.scan_blocks:

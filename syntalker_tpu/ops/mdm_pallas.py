@@ -1,0 +1,161 @@
+"""Fused transformer-stack kernel (Pallas/TPU) for low-batch denoising.
+
+The DDIM sampling loop is latency-bound at batch 1: each NFE step of the
+8-layer MDM stack lowers to ~120 small XLA kernels whose fixed per-kernel
+cost (~5-7 µs) dominates the actual math (T=32 tokens, D=512). This kernel
+collapses the whole block stack into ONE ``pallas_call``:
+
+- grid = (B, L): for each sample, the L grid steps stream layer weights
+  HBM→VMEM with the Pallas pipeline's double buffering while computing the
+  previous layer,
+- the activation (T, D) lives in a revisited VMEM output block across all
+  L steps of a sample,
+- weights are stored bf16 (halves streaming; matmuls accumulate in f32 via
+  ``preferred_element_type``),
+- LayerNorm → fused-qkv attention (4 heads) → projection → LayerNorm →
+  GELU MLP, numerics matching
+  :class:`syntalker_tpu.models.denoiser.TransformerBlock` (pre-LN, no qkv
+  bias, f32 softmax).
+
+Batched serving keeps the XLA path (matmuls amortize the launch cost);
+this kernel targets the interactive single-clip case.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+F32 = jnp.float32
+
+
+def _layer_norm(x, scale, bias, eps=1e-6):
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean((x - mean) ** 2, axis=-1, keepdims=True)
+    return (x - mean) * jax.lax.rsqrt(var + eps) * scale + bias
+
+
+def _dot(a, b):
+    return jax.lax.dot(a, b, preferred_element_type=F32)
+
+
+def _block_kernel(
+    x_in_ref,  # (1, T, D) f32 — this sample's block input
+    ln1_s_ref, ln1_b_ref,  # (1, 1, D)
+    wqkv_ref,  # (1, D, 3D) bf16
+    wproj_ref, bproj_ref,  # (1, D, D) bf16, (1, 1, D)
+    ln2_s_ref, ln2_b_ref,  # (1, 1, D)
+    wfc1_ref, bfc1_ref,  # (1, D, F) bf16, (1, 1, F)
+    wfc2_ref, bfc2_ref,  # (1, F, D) bf16, (1, 1, D)
+    out_ref,  # (1, T, D) f32 — revisited across the L grid steps
+    *,
+    num_heads: int,
+):
+    layer = pl.program_id(1)
+
+    # first layer of each sample consumes the block input; later layers the
+    # carried activation
+    @pl.when(layer == 0)
+    def _():
+        out_ref[...] = x_in_ref[...]
+
+    x = out_ref[0]  # (T, D) f32
+    t, d = x.shape
+    hd = d // num_heads
+
+    # --- attention ---------------------------------------------------------
+    h = _layer_norm(x, ln1_s_ref[0, 0], ln1_b_ref[0, 0])
+    qkv = _dot(h.astype(jnp.bfloat16), wqkv_ref[0])  # (T, 3D) f32 accum
+    scale = hd ** -0.5
+    head_outs = []
+    for head in range(num_heads):
+        q = qkv[:, head * hd : (head + 1) * hd]
+        k = qkv[:, d + head * hd : d + (head + 1) * hd]
+        v = qkv[:, 2 * d + head * hd : 2 * d + (head + 1) * hd]
+        scores = _dot(q * scale, k.T)  # (T, T)
+        probs = jax.nn.softmax(scores, axis=-1)
+        head_outs.append(_dot(probs, v))  # (T, hd)
+    attn_out = jnp.concatenate(head_outs, axis=-1)
+    x = x + _dot(attn_out.astype(jnp.bfloat16), wproj_ref[0]) + bproj_ref[0, 0]
+
+    # --- mlp ---------------------------------------------------------------
+    h = _layer_norm(x, ln2_s_ref[0, 0], ln2_b_ref[0, 0])
+    h = _dot(h.astype(jnp.bfloat16), wfc1_ref[0]) + bfc1_ref[0, 0]
+    h = jax.nn.gelu(h)
+    x = x + _dot(h.astype(jnp.bfloat16), wfc2_ref[0]) + bfc2_ref[0, 0]
+
+    out_ref[0] = x
+
+
+def stack_block_weights(block_params: Dict) -> Dict[str, jax.Array]:
+    """Flax scan-stacked block params ('blocks/block/...') -> the kernel's
+    weight dict (matmul weights cast to bf16)."""
+    p = block_params
+    def vec(a):
+        # Mosaic tiling wants >=2 trailing dims; store vectors as (L, 1, D)
+        a = jnp.asarray(a, F32)
+        return a[:, None, :]
+
+    return {
+        "ln1_s": vec(p["norm1"]["scale"]),
+        "ln1_b": vec(p["norm1"]["bias"]),
+        "wqkv": jnp.asarray(p["qkv"]["kernel"], jnp.bfloat16),
+        "wproj": jnp.asarray(p["proj"]["kernel"], jnp.bfloat16),
+        "bproj": vec(p["proj"]["bias"]),
+        "ln2_s": vec(p["norm2"]["scale"]),
+        "ln2_b": vec(p["norm2"]["bias"]),
+        "wfc1": jnp.asarray(p["fc1"]["kernel"], jnp.bfloat16),
+        "bfc1": vec(p["fc1"]["bias"]),
+        "wfc2": jnp.asarray(p["fc2"]["kernel"], jnp.bfloat16),
+        "bfc2": vec(p["fc2"]["bias"]),
+    }
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads", "interpret"))
+def fused_block_stack(
+    x: jax.Array,  # (B, T, D) f32
+    w: Dict[str, jax.Array],  # stacked (L, ...) weights from stack_block_weights
+    *,
+    num_heads: int = 4,
+    interpret: bool = False,
+) -> jax.Array:
+    b, t, d = x.shape
+    l = w["wqkv"].shape[0]
+    f = w["wfc1"].shape[-1]
+
+    def wspec(shape):
+        # per-layer weight block, indexed by the layer grid axis
+        return pl.BlockSpec(
+            (1,) + shape, lambda bi, li: (li,) + (0,) * len(shape),
+            memory_space=pltpu.VMEM,
+        )
+
+    out = pl.pallas_call(
+        functools.partial(_block_kernel, num_heads=num_heads),
+        grid=(b, l),
+        in_specs=[
+            pl.BlockSpec((1, t, d), lambda bi, li: (bi, 0, 0), memory_space=pltpu.VMEM),
+            wspec((1, d)), wspec((1, d)),
+            wspec((d, 3 * d)),
+            wspec((d, d)), wspec((1, d)),
+            wspec((1, d)), wspec((1, d)),
+            wspec((d, f)), wspec((1, f)),
+            wspec((f, d)), wspec((1, d)),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, t, d), lambda bi, li: (bi, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, t, d), F32),
+        interpret=interpret,
+    )(
+        x.astype(F32),
+        w["ln1_s"], w["ln1_b"], w["wqkv"], w["wproj"], w["bproj"],
+        w["ln2_s"], w["ln2_b"], w["wfc1"], w["bfc1"], w["wfc2"], w["bfc2"],
+    )
+    return out

@@ -166,3 +166,22 @@ class TestMDM:
         u0 = module.apply({"params": params}, **x, prompt=p0, uncond_prompt=True)
         u1 = module.apply({"params": params}, **x, prompt=p1, uncond_prompt=True)
         np.testing.assert_allclose(np.asarray(u0), np.asarray(u1), atol=1e-6)
+
+
+class TestPrecomputedTimestepEmbedding:
+    def test_matches_inline_path(self, model):
+        module, params = model
+        a = make_inputs(jax.random.PRNGKey(9))
+        cond = module.apply(
+            {"params": params}, a["audio"], a["word"], a["seed"],
+            method="encode_cond",
+        )
+        inline = module.apply(
+            {"params": params}, a["x_t"], a["t"], cond, method="denoise"
+        )
+        t_emb = module.apply({"params": params}, a["t"], method="embed_timesteps")
+        pre = module.apply(
+            {"params": params}, a["x_t"], a["t"], cond, method="denoise",
+            t_emb=t_emb,
+        )
+        np.testing.assert_allclose(np.asarray(inline), np.asarray(pre), atol=1e-6)
