@@ -152,3 +152,30 @@ def test_train_cli_one_epoch(beat_dir, tmp_path):
         + TINY
     )
     assert list(Path(tmp_path / "ckpt_diff").glob("step_*"))
+
+
+def test_eval_cli(beat_dir, tmp_path):
+    """cli.test end-to-end: build the test cache, run the evaluator with a
+    synthetic SMPL-X stand-in, write metrics.json."""
+    import json
+
+    from syntalker_tpu.cli import test as test_cli
+    from syntalker_tpu.ops import smplx as S
+
+    # monkeypatch-free injection: load_smplx_if_available returns None here
+    # (no model path), so joint metrics are skipped and FGD still runs
+    test_cli.main(
+        [
+            "--run-dir", str(tmp_path / "run"),
+            "--max-clips", "1",
+            f"data.data_path={beat_dir}/",
+            f"data.cache_path={tmp_path}/cache_eval",
+            "diffusion.timestep_respacing=ddim4",
+            "diffusion.sampler=ddim",
+        ]
+        + TINY
+        + ["mdm.latent_total_dim=1536"]  # full latent width for part slices
+    )
+    metrics = json.loads((tmp_path / "run" / "metrics.json").read_text())
+    assert metrics["clips"] == 1
+    assert np.isfinite(metrics["fid"])
