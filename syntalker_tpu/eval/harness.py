@@ -170,6 +170,73 @@ class GestureEvaluator:
             "betas": sample["beta"][0],
         }
 
+    def evaluate_clips_batched(
+        self, samples: list, rng
+    ) -> list:
+        """Generate several whole clips in ONE device batch.
+
+        Clips are grouped by their window count (same count -> identical
+        static shapes), so a bucket of B clips costs one windowed-sampler
+        run of batch B instead of B runs — the reference evaluated with
+        batch_size 1 (test.py:72). Returns per-clip dicts like
+        :meth:`evaluate_clip`.
+        """
+        b = len(samples)
+        plans = [
+            G.plan_windows(s["pose"].shape[0], pose_length=self.pose_length,
+                           pre_frames=self.pre_frames)
+            for s in samples
+        ]
+        assert len({p.num_windows for p in plans}) == 1, "bucket by window count"
+        plan = plans[0]
+        n = plan.out_latent_frames * plan.squeeze
+
+        def pad_to(x, length):
+            if x.shape[0] >= length:
+                return x[:length]
+            pad = [(0, length - x.shape[0])] + [(0, 0)] * (x.ndim - 1)
+            return np.pad(x, pad)
+
+        audio = np.stack([pad_to(s["audio"], 533 * plan.n_frames) for s in samples])
+        words = np.stack([pad_to(s["word"], plan.n_frames) for s in samples])
+        poses = np.stack([pad_to(s["pose"], plan.n_frames) for s in samples])
+        trans_v = np.stack([pad_to(s["trans_v"], plan.n_frames) for s in samples])
+
+        aw = jnp.asarray(G.window_audio(audio, plan))
+        ww = jnp.asarray(G.window_words(words, plan))
+        pose_aa = jnp.asarray(poses[..., : J.AXIS_ANGLE_DIM])
+        gt_latents = self._gt_latents(pose_aa, jnp.asarray(trans_v))
+        init_seed = gt_latents[:, : plan.pre_frames]
+
+        latents = G.sample_windows(
+            self.mdm, self.mdm_params, self.diffusion, plan, aw, ww,
+            init_seed, rng, sampler=self.sampler,
+        )
+        dec = G.decode_latents(
+            latents, rvq_modules=self.rvq_modules, stats=self.stats,
+            latent_scale=self.latent_scale,
+        )
+        rec_aa = np.array(dec["axis_angle"])
+        gt_aa = np.asarray(pose_aa[:, :n])
+        for idx in (J.FACE_AA_IDX, np.arange(69, 75)):
+            rec_aa[..., idx] = gt_aa[..., idx]
+        gt_parts = pose_to_part_rot6d(jnp.asarray(gt_aa))
+        rec_parts = pose_to_part_rot6d(jnp.asarray(rec_aa))
+
+        out = []
+        for i, s in enumerate(samples):
+            out.append({
+                "n_frames": n,
+                "rec_rot6d": np.asarray(rec_parts["full"][i : i + 1]),
+                "gt_rot6d": np.asarray(gt_parts["full"][i : i + 1]),
+                "rec_aa": rec_aa[i : i + 1],
+                "gt_aa": gt_aa[i : i + 1],
+                "rec_trans": np.asarray(dec["trans"][i : i + 1]),
+                "gt_trans": s["trans"][:n],
+                "betas": s["beta"][0],
+            })
+        return out
+
     def evaluate(
         self,
         cache: BeatCache,
@@ -177,6 +244,7 @@ class GestureEvaluator:
         *,
         out_dir: Optional[str | Path] = None,
         max_clips: Optional[int] = None,
+        batch_clips: int = 1,
     ) -> EvalResult:
         t0 = time.perf_counter()
         lat_rec, lat_gt = [], []
@@ -187,9 +255,36 @@ class GestureEvaluator:
         self._face_lvd = 0.0
         n_clips = min(len(cache), max_clips or len(cache))
 
-        for i in range(n_clips):
-            sample = cache.get(i)
-            out = self.evaluate_clip(sample, jax.random.fold_in(rng, i))
+        # order of generation: batch_clips > 1 buckets clips by window count
+        # so each bucket is ONE device batch (the reference ran batch 1)
+        pending: list[tuple[int, dict, dict]] = []
+        if batch_clips <= 1:
+            for i in range(n_clips):
+                sample = cache.get(i)
+                pending.append(
+                    (i, sample, self.evaluate_clip(sample, jax.random.fold_in(rng, i)))
+                )
+        else:
+            buckets: dict[int, list[int]] = {}
+            all_samples = {i: cache.get(i) for i in range(n_clips)}
+            for i, s in all_samples.items():
+                w = G.plan_windows(
+                    s["pose"].shape[0], pose_length=self.pose_length,
+                    pre_frames=self.pre_frames,
+                ).num_windows
+                buckets.setdefault(w, []).append(i)
+            for w, idxs in sorted(buckets.items()):
+                for lo in range(0, len(idxs), batch_clips):
+                    group = idxs[lo : lo + batch_clips]
+                    outs = self.evaluate_clips_batched(
+                        [all_samples[i] for i in group],
+                        jax.random.fold_in(rng, group[0]),
+                    )
+                    pending.extend(
+                        (i, all_samples[i], o) for i, o in zip(group, outs)
+                    )
+
+        for i, sample, out in pending:
             n = out["n_frames"]
             total_frames += n
             log.info(f"clip {i}: generated {n} frames")

@@ -86,3 +86,46 @@ def test_full_eval(test_cache, tmp_path):
     np.testing.assert_allclose(
         res["poses"][:, 66:69], gt["poses"][:, 66:69], atol=1e-6
     )
+
+
+def test_batched_evaluate_matches_shapes(test_cache, tmp_path):
+    """Bucketed batched generation path produces the same metric structure."""
+    import jax
+
+    from syntalker_tpu.config import body_part_rvq_config
+    from syntalker_tpu.data.stats import identity_pose_stats
+    from syntalker_tpu.diffusion.schedule import make_diffusion
+    from syntalker_tpu.eval.harness import GestureEvaluator
+    from syntalker_tpu.models.denoiser import MDMConfig, create_mdm
+    from syntalker_tpu.models.rvqvae import create_rvqvae
+    from syntalker_tpu.ops.quantize import RVQConfig, rvq_forward
+
+    rng = jax.random.PRNGKey(0)
+    mdm_cfg = MDMConfig(
+        latent_dim=32, ff_size=64, num_layers=1, num_heads=2, rope_heads=4,
+        audio_feat_dim=16, word_feat_dim=16, word_embed_dim=8, vocab_size=64,
+    )
+    mdm, mdm_params = create_mdm(mdm_cfg, rng, frames=128)
+    q = RVQConfig(num_quantizers=2, nb_code=32, code_dim=512)
+    rvq_modules = {}
+    for i, part in enumerate(("upper", "hands", "lower")):
+        rcfg = body_part_rvq_config(part, width=32, depth=1, quantizer=q)
+        module, params, state = create_rvqvae(rcfg, jax.random.fold_in(rng, i))
+        z = jax.random.normal(rng, (1, 64, 512))
+        state = rvq_forward(z, state, q, train=True, rng=rng).state
+        rvq_modules[part] = (module, params, state)
+
+    ev = GestureEvaluator(
+        mdm=mdm, mdm_params=mdm_params, diffusion=make_diffusion(steps=4),
+        rvq_modules=rvq_modules, stats=identity_pose_stats(), sampler="ddim",
+    )
+    # two identical-length samples -> one bucket of 2
+    s = test_cache.get(0)
+    outs = ev.evaluate_clips_batched([s, s], jax.random.PRNGKey(1))
+    assert len(outs) == 2
+    assert outs[0]["rec_rot6d"].shape == outs[1]["rec_rot6d"].shape
+    # same inputs in the same batch draw different noise rows? identical
+    # inputs share the batch-level key but sampler noise is per-element of
+    # the batch tensor -> outputs may differ; only check finiteness
+    assert np.isfinite(outs[0]["rec_aa"]).all()
+    assert np.isfinite(outs[1]["rec_aa"]).all()
