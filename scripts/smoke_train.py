@@ -42,12 +42,19 @@ def main():
     ap.add_argument("--rvq-iters", type=int, default=1200)
     ap.add_argument("--diff-epochs", type=int, default=12)
     ap.add_argument("--out", type=str, default="./outputs/smoke")
+    ap.add_argument("--representation", choices=["beat330", "h3d623"],
+                    default="beat330")
     args = ap.parse_args()
     log = setup_logging(args.out)
     out_dir = Path(args.out)
 
     t_start = time.time()
-    arrays = preprocess_clip(NPZ, WAV, None, None)
+    smplx_model = None
+    if args.representation == "h3d623":
+        from syntalker_tpu.ops.smplx import synthetic_smplx_model
+
+        smplx_model = synthetic_smplx_model()
+    arrays = preprocess_clip(NPZ, WAV, None, None, smplx_model=smplx_model)
 
     # RVQ training cache: 64-frame windows, dense stride for more samples
     rvq_cache = BeatCache(out_dir / "cache_rvq")
@@ -66,6 +73,7 @@ def main():
     rvq_ckpts = []
     for part in ("upper", "hands", "lower"):
         cfg = ExperimentConfig(
+            representation=args.representation,
             train=TrainConfig(batch_size=32, log_period=200, seed=11,
                               ckpt_dir=str(out_dir / "rvq")),
             rvq_train=RVQTrainConfig(

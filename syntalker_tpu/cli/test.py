@@ -79,6 +79,10 @@ def main(argv=None):
     p = base_parser(__doc__)
     p.add_argument("--eval-vae-ckpt", type=str, default="")
     p.add_argument("--max-clips", type=int, default=None)
+    p.add_argument(
+        "--batch-clips", type=int, default=1,
+        help="generate N same-window-count clips per device batch",
+    )
     args = p.parse_args(argv)
     cfg = setup(args)
     smplx_model = load_smplx_if_available(cfg)
@@ -97,6 +101,7 @@ def main(argv=None):
         jax.random.PRNGKey(999),
         out_dir=Path(args.run_dir) / "results",
         max_clips=args.max_clips,
+        batch_clips=args.batch_clips,
     )
     out = Path(args.run_dir) / "metrics.json"
     out.parent.mkdir(parents=True, exist_ok=True)
