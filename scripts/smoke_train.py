@@ -115,6 +115,7 @@ def main():
 
     stats = load_pose_stats("/root/reference/mean_std")
     cfg = ExperimentConfig(
+        representation=args.representation,
         mdm=MDMConfig(),  # full-size denoiser
         train=TrainConfig(batch_size=32, log_period=50, seed=7,
                           ckpt_dir=str(out_dir / "diff")),
@@ -122,10 +123,30 @@ def main():
         rvq_ckpts=tuple(rvq_ckpts),
     )
     rvq_stack = load_rvq_stack(cfg, jax.random.PRNGKey(0))
-    sample_parts = pose_to_part_rot6d(jnp.asarray(arrays["poses"][None, :512]))
-    lat_scale = calibrate_latent_scale(
-        rvq_stack, stats, sample_parts, jnp.asarray(arrays["trans_v"][None, :512])
-    )
+
+    from syntalker_tpu.data import joints as JT
+
+    def h3d_latents(rvq, feats):
+        from syntalker_tpu.data.h3d import part_mask_623
+        from syntalker_tpu.data.stats import load_h3d_stats
+
+        h3d_stats = load_h3d_stats("/root/reference/mean_std")
+        x = h3d_stats.normalize(feats)
+        lat = []
+        for name in JT.LATENT_SLICES:
+            module, params, _q = rvq[name]
+            lat.append(module.apply({"params": params},
+                                    x[..., part_mask_623(name)], method="map2latent"))
+        return jnp.concatenate(lat, axis=-1)
+
+    if args.representation == "h3d623":
+        raw_lat = h3d_latents(rvq_stack, jnp.asarray(arrays["h3d"][None, :512]))
+        lat_scale = float(jnp.std(raw_lat))
+    else:
+        sample_parts = pose_to_part_rot6d(jnp.asarray(arrays["poses"][None, :512]))
+        lat_scale = calibrate_latent_scale(
+            rvq_stack, stats, sample_parts, jnp.asarray(arrays["trans_v"][None, :512])
+        )
     log.info(f"calibrated latent_scale: {lat_scale:.3f}")
     report["latent_scale"] = lat_scale
     cfg = ExperimentConfig(**{**cfg.__dict__, "latent_scale": lat_scale})
@@ -145,13 +166,18 @@ def main():
     from syntalker_tpu.diffusion.schedule import make_diffusion
 
     plan = G.plan_windows(480)  # 16 s
-    pose = jnp.asarray(arrays["poses"][None, :480])
-    trans_v = jnp.asarray(arrays["trans_v"][None, :480])
-    parts = pose_to_part_rot6d(pose)
-    from syntalker_tpu.train.diffusion_trainer import make_latent_encoder
+    if args.representation == "h3d623":
+        gt_latents = h3d_latents(
+            dtrainer.rvq, jnp.asarray(arrays["h3d"][None, :480])
+        ) / lat_scale
+    else:
+        pose = jnp.asarray(arrays["poses"][None, :480])
+        trans_v = jnp.asarray(arrays["trans_v"][None, :480])
+        parts = pose_to_part_rot6d(pose)
+        from syntalker_tpu.train.diffusion_trainer import make_latent_encoder
 
-    enc = make_latent_encoder(dtrainer.rvq, stats, latent_scale=lat_scale)
-    gt_latents = enc(parts["upper"], parts["hands"], parts["lower"], trans_v)
+        enc = make_latent_encoder(dtrainer.rvq, stats, latent_scale=lat_scale)
+        gt_latents = enc(parts["upper"], parts["hands"], parts["lower"], trans_v)
 
     audio = arrays["audio"][None, : 480 * 533]
     aw = jnp.asarray(G.window_audio(audio, plan))
@@ -167,14 +193,30 @@ def main():
     report["generation"] = {"latent_mse": lat_mse, "gt_latent_var": gt_var}
     log.info(f"generation: latent MSE {lat_mse:.4f} vs GT variance {gt_var:.4f}")
 
-    dec = G.decode_latents(
-        latents, rvq_modules=dtrainer.rvq, stats=stats, latent_scale=lat_scale
-    )
-    assert np.isfinite(np.asarray(dec["axis_angle"])).all()
-    gt6d = parts["full"][:, : dec["rot6d"].shape[1]]
-    rot_mse = float(jnp.mean((dec["rot6d"] - gt6d) ** 2))
-    report["generation"]["rot6d_mse_vs_gt"] = rot_mse
-    log.info(f"generation: rot6d MSE vs GT {rot_mse:.4f}")
+    if args.representation == "h3d623":
+        from syntalker_tpu.data.stats import load_h3d_stats
+
+        dec = G.decode_latents_h3d(
+            latents, rvq_modules=dtrainer.rvq,
+            h3d_stats=load_h3d_stats("/root/reference/mean_std"),
+            latent_scale=lat_scale,
+        )
+        assert np.isfinite(np.asarray(dec["joints"])).all()
+        nfr = dec["features"].shape[1]
+        feat_mse = float(jnp.mean(
+            (dec["features"] - jnp.asarray(arrays["h3d"][None, :nfr])) ** 2
+        ))
+        report["generation"]["h3d_feature_mse_vs_gt"] = feat_mse
+        log.info(f"generation: h3d feature MSE vs GT {feat_mse:.4f}")
+    else:
+        dec = G.decode_latents(
+            latents, rvq_modules=dtrainer.rvq, stats=stats, latent_scale=lat_scale
+        )
+        assert np.isfinite(np.asarray(dec["axis_angle"])).all()
+        gt6d = parts["full"][:, : dec["rot6d"].shape[1]]
+        rot_mse = float(jnp.mean((dec["rot6d"] - gt6d) ** 2))
+        report["generation"]["rot6d_mse_vs_gt"] = rot_mse
+        log.info(f"generation: rot6d MSE vs GT {rot_mse:.4f}")
     report["wall_minutes"] = (time.time() - t_start) / 60
     (out_dir / "report.json").write_text(json.dumps(report, indent=1))
     log.info(f"SMOKE OK: {json.dumps(report, indent=1)}")
