@@ -188,7 +188,9 @@ class GestureEvaluator:
             for s in samples
         ]
         assert len({p.num_windows for p in plans}) == 1, "bucket by window count"
-        plan = plans[0]
+        # use the bucket's SHORTEST plan: longer clips are truncated (never
+        # zero-padded) so ground-truth comparisons stay on real frames
+        plan = min(plans, key=lambda p: p.n_frames)
         n = plan.out_latent_frames * plan.squeeze
 
         def pad_to(x, length):
