@@ -133,6 +133,125 @@ def convert_rvqvae(
     return {"params": params}, qstate
 
 
+def _fold_bn(conv_w, conv_b, bn_w, bn_b, bn_mean, bn_var, eps=1e-5):
+    """Fold eval-mode BatchNorm into the preceding conv (flax layout).
+
+    BN(conv(x)) = conv(x)·s + t with s = γ/√(σ²+ε), t = β − μ·s — an
+    affine per output channel, absorbable into the conv weights/bias."""
+    s = bn_w / np.sqrt(bn_var + eps)
+    return conv_w * s[None, None, :], conv_b * s + (bn_b - bn_mean * s)
+
+
+def convert_mdm(state_dict: Dict, num_layers: int = 8) -> Dict:
+    """Reference MDM (models/denoiser.py) state_dict -> our flax params.
+
+    Exact mapping for every submodule; the audio encoder's BatchNorm running
+    stats are folded into its convs, so the converted model must be built
+    with ``MDMConfig(audio_norm='none')``. Use for porting released
+    reference checkpoints (e.g. last_500.bin) into this framework.
+    """
+    sd = {k.removeprefix("module."): _np(v) for k, v in state_dict.items()}
+    params: Dict = {}
+
+    # --- wav encoder: 6 BasicBlocks with BN folding (layer.py:144-184) ----
+    wav: Dict = {}
+    for i in range(6):
+        base = f"WavEncoder.feat_extractor.{i}"
+        blk: Dict = {}
+        for conv, bn, name in (
+            ("conv1", "bn1", "conv1"),
+            ("conv2", "bn2", "conv2"),
+        ):
+            w, b = _fold_bn(
+                _conv(sd[f"{base}.{conv}.weight"]), sd[f"{base}.{conv}.bias"],
+                sd[f"{base}.{bn}.weight"], sd[f"{base}.{bn}.bias"],
+                sd[f"{base}.{bn}.running_mean"], sd[f"{base}.{bn}.running_var"],
+            )
+            blk[name] = {"kernel": w, "bias": b}
+        if f"{base}.downsample.0.weight" in sd:
+            w, b = _fold_bn(
+                _conv(sd[f"{base}.downsample.0.weight"]),
+                sd[f"{base}.downsample.0.bias"],
+                sd[f"{base}.downsample.1.weight"], sd[f"{base}.downsample.1.bias"],
+                sd[f"{base}.downsample.1.running_mean"],
+                sd[f"{base}.downsample.1.running_var"],
+            )
+            blk["down_conv"] = {"kernel": w, "bias": b}
+        wav[f"block_{i}"] = blk
+    params["wav_encoder"] = wav
+
+    # --- text/word conditioning -------------------------------------------
+    params["word_embedding"] = sd["text_pre_encoder_body.weight"]
+    params["text_encoder"] = {
+        "kernel": _linear(sd["text_encoder_body.weight"]),
+        "bias": sd["text_encoder_body.bias"],
+    }
+    params["mix_audio_text"] = {
+        "kernel": _linear(sd["mix_audio_text.weight"]),
+        "bias": sd["mix_audio_text.bias"],
+    }
+    params["embed_seed"] = {
+        "kernel": _linear(sd["embed_text.weight"]),
+        "bias": sd["embed_text.bias"],
+    }
+
+    # --- timestep MLP (denoiser.py:231-245) --------------------------------
+    params["time_mlp"] = {
+        "fc1": {
+            "kernel": _linear(sd["embed_timestep.time_embed.0.weight"]),
+            "bias": sd["embed_timestep.time_embed.0.bias"],
+        },
+        "fc2": {
+            "kernel": _linear(sd["embed_timestep.time_embed.2.weight"]),
+            "bias": sd["embed_timestep.time_embed.2.bias"],
+        },
+    }
+
+    # --- in/out projections -------------------------------------------------
+    params["input_process"] = {
+        "kernel": _linear(sd["input_process.poseEmbedding.weight"]),
+        "bias": sd["input_process.poseEmbedding.bias"],
+    }
+    params["input_process2"] = {
+        "kernel": _linear(sd["input_process2.weight"]),
+        "bias": sd["input_process2.bias"],
+    }
+    params["output_process"] = {
+        "kernel": _linear(sd["output_process.poseFinal.weight"]),
+        "bias": sd["output_process.poseFinal.bias"],
+    }
+
+    # --- transformer blocks, stacked for the nn.scan layout ----------------
+    def stacked(fn):
+        return np.stack([fn(i) for i in range(num_layers)])
+
+    blk = f"mytimmblocks"
+    params["blocks"] = {"block": {
+        "norm1": {
+            "scale": stacked(lambda i: sd[f"{blk}.{i}.norm1.weight"]),
+            "bias": stacked(lambda i: sd[f"{blk}.{i}.norm1.bias"]),
+        },
+        "qkv": {"kernel": stacked(lambda i: _linear(sd[f"{blk}.{i}.attn.qkv.weight"]))},
+        "proj": {
+            "kernel": stacked(lambda i: _linear(sd[f"{blk}.{i}.attn.proj.weight"])),
+            "bias": stacked(lambda i: sd[f"{blk}.{i}.attn.proj.bias"]),
+        },
+        "norm2": {
+            "scale": stacked(lambda i: sd[f"{blk}.{i}.norm2.weight"]),
+            "bias": stacked(lambda i: sd[f"{blk}.{i}.norm2.bias"]),
+        },
+        "fc1": {
+            "kernel": stacked(lambda i: _linear(sd[f"{blk}.{i}.mlp.fc1.weight"])),
+            "bias": stacked(lambda i: sd[f"{blk}.{i}.mlp.fc1.bias"]),
+        },
+        "fc2": {
+            "kernel": stacked(lambda i: _linear(sd[f"{blk}.{i}.mlp.fc2.weight"])),
+            "bias": stacked(lambda i: sd[f"{blk}.{i}.mlp.fc2.bias"]),
+        },
+    }}
+    return {"params": params}
+
+
 def load_torch_rvqvae(path: str, **kw) -> Tuple[Dict, RVQState]:
     """Load a reference net_*.pth ({'net': state_dict}) and convert."""
     import torch

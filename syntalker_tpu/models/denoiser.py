@@ -60,6 +60,9 @@ class MDMConfig:
     # compile the block stack as one lax.scan over stacked layer params —
     # ~num_layers× smaller HLO (and compile time) with identical math
     scan_blocks: bool = True
+    # wav-encoder normalization: 'group' (training default) or 'none'
+    # (converted reference checkpoints with BatchNorm folded into convs)
+    audio_norm: str = "group"
     # rematerialize block activations in backward (jax.checkpoint): trades
     # ~30% more flops for O(1) activation memory across layers — enables
     # much larger batches per chip
@@ -86,12 +89,22 @@ class AudioBasicBlock(nn.Module):
 
     kernel 15; `pad` mirrors the torch `first_dilation` padding so the
     16 kHz -> 30 fps temporal arithmetic matches the reference exactly.
+
+    norm: 'group' (our training default — no cross-replica sync needed) or
+    'none' (for reference checkpoints converted with BatchNorm running
+    stats folded into the conv weights, see syntalker_tpu.convert).
     """
 
     channels: int
     stride: int
     pad: int
     downsample: bool
+    norm: str = "group"
+
+    def _norm(self, x, name):
+        if self.norm == "none":
+            return x
+        return _group_norm(x, name)
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -102,10 +115,10 @@ class AudioBasicBlock(nn.Module):
             padding=((self.pad, self.pad),),
             name="conv1",
         )(x)
-        h = _group_norm(h, "norm1")
+        h = self._norm(h, "norm1")
         h = nn.leaky_relu(h, 0.01)
         h = nn.Conv(self.channels, kernel_size=(15,), padding=((7, 7),), name="conv2")(h)
-        h = _group_norm(h, "norm2")
+        h = self._norm(h, "norm2")
         if self.downsample:
             sc = nn.Conv(
                 self.channels,
@@ -114,7 +127,7 @@ class AudioBasicBlock(nn.Module):
                 padding=((self.pad, self.pad),),
                 name="down_conv",
             )(x)
-            sc = _group_norm(sc, "down_norm")
+            sc = self._norm(sc, "down_norm")
         else:
             sc = x
         return nn.leaky_relu(h + sc, 0.01)
@@ -128,6 +141,7 @@ class WavEncoder(nn.Module):
     """
 
     out_dim: int = 256
+    norm: str = "group"
 
     @nn.compact
     def __call__(self, wav: jax.Array) -> jax.Array:
@@ -145,7 +159,7 @@ class WavEncoder(nn.Module):
         ]
         h = wav
         for i, (c, s, p, down) in enumerate(plan):
-            h = AudioBasicBlock(c, s, p, down, name=f"block_{i}")(h)
+            h = AudioBasicBlock(c, s, p, down, norm=self.norm, name=f"block_{i}")(h)
         return h  # (B, F, out_dim)
 
 
@@ -213,7 +227,7 @@ class TransformerBlock(nn.Module):
 
         h = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
         h = nn.Dense(self.mlp_dim, dtype=self.dtype, name="fc1")(h)
-        h = nn.gelu(h)
+        h = nn.gelu(h, approximate=False)  # exact erf GELU (torch nn.GELU)
         h = nn.Dense(c, dtype=self.dtype, name="fc2")(h)
         return x + self._drop_path(h, train)
 
@@ -273,7 +287,7 @@ class MDM(nn.Module):
         cond_rng: Optional[jax.Array] = None,
     ) -> Conditioning:
         c = self.cfg
-        audio_feat = WavEncoder(c.audio_feat_dim, name="wav_encoder")(audio)
+        audio_feat = WavEncoder(c.audio_feat_dim, norm=c.audio_norm, name="wav_encoder")(audio)
 
         word_table = self.param(
             "word_embedding",

@@ -87,7 +87,7 @@ def _block_kernel(
     # --- mlp ---------------------------------------------------------------
     h = _layer_norm(x, ln2_s_ref[0, 0], ln2_b_ref[0, 0])
     h = _dot(h.astype(jnp.bfloat16), wfc1_ref[0]) + bfc1_ref[0, 0]
-    h = jax.nn.gelu(h)
+    h = jax.nn.gelu(h, approximate=False)  # match the flax blocks' exact GELU
     x = x + _dot(h.astype(jnp.bfloat16), wfc2_ref[0]) + bfc2_ref[0, 0]
 
     out_ref[0] = x

@@ -113,3 +113,98 @@ class TestTorchParity:
         ref_idx = ref_idx.numpy().reshape(ours_idx.shape)
         mismatch = (ref_idx != ours_idx).mean()
         assert mismatch < 0.01, f"token mismatch rate {mismatch}"
+
+
+@pytest.fixture(scope="module")
+def ref_mdm(tmp_path_factory):
+    """Reference MDM built as an oracle (random init, eval mode), with a
+    fabricated vocab.pkl matching our tiny vocab size."""
+    import pickle
+    import types
+
+    sys.path.insert(0, REF)
+    # stub the reference module's unavailable deps (lmdb/fasttext/loguru)
+    for name in ("lmdb", "fasttext"):
+        sys.modules.setdefault(name, types.ModuleType(name))
+    if "loguru" not in sys.modules:
+        loguru = types.ModuleType("loguru")
+        loguru.logger = types.SimpleNamespace(
+            info=lambda *a, **k: None, warning=lambda *a, **k: None
+        )
+        sys.modules["loguru"] = loguru
+    from dataloaders.build_vocab import Vocab as RefVocab
+
+    data_path = tmp_path_factory.mktemp("refdata")
+    (data_path / "weights").mkdir()
+    v = RefVocab("test")
+    rng = np.random.default_rng(0)
+    for i in range(56):
+        v.index_word(f"w{i}")
+    v.word_embedding_weights = rng.normal(0, 0.1, (v.n_words, 300)).astype(np.float32)
+    with open(data_path / "weights" / "vocab.pkl", "wb") as f:
+        pickle.dump(v, f)
+
+    args = types.SimpleNamespace(
+        vqvae_type="rvqvae",
+        audio_rep="onset+amplitude",
+        audio_f=256,
+        word_f=256,
+        t_fix_pre=False,
+        use_motionclip=False,
+        vqvae_squeeze_scale=4,
+        data_path=str(data_path) + "/",
+    )
+    torch.manual_seed(0)
+    if not torch.cuda.is_available():
+        torch.Tensor.cuda = lambda self, *a, **k: self  # type: ignore
+    from models.denoiser import MDM as RefMDM
+
+    model = RefMDM(args).eval()
+    return model, v.n_words
+
+
+class TestMDMConversion:
+    def test_full_forward_parity(self, ref_mdm):
+        import jax
+        import jax.numpy as jnp
+
+        from syntalker_tpu.convert import convert_mdm
+        from syntalker_tpu.models.denoiser import MDM, MDMConfig
+
+        ref, n_words = ref_mdm
+        rng = np.random.default_rng(1)
+        b, frames = 2, 128
+        x = rng.normal(size=(b, 1536, 1, 32)).astype(np.float32)
+        t = np.array([10, 500])
+        audio = rng.normal(size=(b, 16000 // 30 * frames, 2)).astype(np.float32)
+        word = rng.integers(0, n_words, (b, frames))
+        seed = rng.normal(size=(b, 4, 1536)).astype(np.float32)
+
+        with torch.no_grad():
+            y = {
+                "audio": torch.from_numpy(audio.copy()),
+                "word": torch.from_numpy(word.copy()).long(),
+                "seed": torch.from_numpy(seed.copy()),
+                "id": None,
+                "mask": None,
+            }
+            out_ref = ref(
+                torch.from_numpy(x.copy()), torch.from_numpy(t.copy()).long(), y
+            ).numpy()
+
+        cfg = MDMConfig(vocab_size=n_words, audio_norm="none", dropout=0.0)
+        module = MDM(cfg)
+        variables = convert_mdm(ref.state_dict())
+        out = module.apply(
+            variables,
+            jnp.asarray(np.transpose(x[:, :, 0, :], (0, 2, 1))),  # (B, T, 1536)
+            jnp.asarray(t),
+            jnp.asarray(audio),
+            jnp.asarray(word),
+            jnp.asarray(seed),
+        )
+        out = np.transpose(np.asarray(out), (0, 2, 1))[:, :, None, :]
+        assert out.shape == out_ref.shape
+        denom = np.abs(out_ref).max() + 1e-9
+        rel = np.abs(out - out_ref).max() / denom
+        assert rel < 5e-3, f"relative error {rel}"
