@@ -6,15 +6,15 @@ module maps them into this framework's parameter trees so existing
 checkpoints keep working (SURVEY.md §7: treat pretrained torch artifacts as
 frozen oracles).
 
-Exactly convertible (architectures match one-to-one):
+Exactly convertible (verified against the reference run as a torch oracle,
+tests/test_convert.py):
 - RVQVAE conv encoder/decoder + residual EMA codebooks
-  (:func:`convert_rvqvae`),
+  (:func:`convert_rvqvae`) — tokens and decode outputs match,
+- the MDM denoiser (:func:`convert_mdm`) — the audio encoder's eval-mode
+  BatchNorm is an affine map per channel and is folded into the conv
+  weights (build the target with ``MDMConfig(audio_norm='none')``); the
+  full forward matches to <5e-3 relative error,
 - the legacy face VQVAE and VQEncoder/Decoder stacks (same conv mapping).
-
-The MDM denoiser converts except for its audio encoder: the reference uses
-BatchNorm (needs SyncBN across replicas), ours uses GroupNorm — BN running
-stats cannot be mapped onto GN parameters, so the audio encoder requires a
-brief finetune after conversion. All other MDM weights map directly.
 
 Layout rules: torch Conv1d (out, in, k) → flax (k, in, out);
 torch Linear (out, in) → flax (in, out); embeddings map directly.
