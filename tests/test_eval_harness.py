@@ -129,3 +129,64 @@ def test_batched_evaluate_matches_shapes(test_cache, tmp_path):
     # the batch tensor -> outputs may differ; only check finiteness
     assert np.isfinite(outs[0]["rec_aa"]).all()
     assert np.isfinite(outs[1]["rec_aa"]).all()
+
+
+def test_multiclip_batched_eval_full_metrics(tmp_path):
+    """Multi-clip eval with mixed lengths: bucketing, batched generation,
+    FGD over all clips, L1Div/BeatAlign via the synthetic SMPL-X."""
+    import jax
+
+    from syntalker_tpu.config import body_part_rvq_config
+    from syntalker_tpu.data.cache import BeatCache, ClipConfig, preprocess_clip
+    from syntalker_tpu.data.stats import identity_pose_stats
+    from syntalker_tpu.diffusion.schedule import make_diffusion
+    from syntalker_tpu.eval.harness import GestureEvaluator
+    from syntalker_tpu.models.denoiser import MDMConfig, create_mdm
+    from syntalker_tpu.models.eval_vae import EvalVAEConfig, VAESKConv
+    from syntalker_tpu.models.rvqvae import create_rvqvae
+    from syntalker_tpu.ops.quantize import RVQConfig, rvq_forward
+    from syntalker_tpu.ops.smplx import synthetic_smplx_model
+
+    rng = jax.random.PRNGKey(0)
+    arrays = preprocess_clip(NPZ, WAV, None, None)
+    cache = BeatCache(tmp_path / "cache")
+    # three "clips": two 5s (same bucket), one 9s (other bucket)
+    for cid, sec in (("a", 5), ("b", 5), ("c", 9)):
+        sl = {
+            k: (v[: sec * 30] if v.ndim and v.shape[0] > 300 and k != "audio" else v)
+            for k, v in arrays.items()
+        }
+        sl["audio"] = arrays["audio"][: sec * 16000]
+        cache.add_clip(cid, sl, ClipConfig(), is_test=True)
+    cache.save_index()
+    assert len(cache) == 3
+
+    mdm_cfg = MDMConfig(
+        latent_dim=32, ff_size=64, num_layers=1, num_heads=2, rope_heads=4,
+        audio_feat_dim=16, word_feat_dim=16, word_embed_dim=8, vocab_size=64,
+    )
+    mdm, mdm_params = create_mdm(mdm_cfg, rng, frames=128)
+    q = RVQConfig(num_quantizers=2, nb_code=16, code_dim=512)
+    rvq_modules = {}
+    for i, part in enumerate(("upper", "hands", "lower")):
+        rcfg = body_part_rvq_config(part, width=32, depth=1, quantizer=q)
+        module, params, state = create_rvqvae(rcfg, jax.random.fold_in(rng, i))
+        z = jax.random.normal(rng, (1, 32, 512))
+        state = rvq_forward(z, state, q, train=True, rng=rng).state
+        rvq_modules[part] = (module, params, state)
+    eval_vae = VAESKConv(EvalVAEConfig())
+    ev_params = eval_vae.init(jax.random.PRNGKey(1), jnp.zeros((1, 32, 330)))["params"]
+
+    ev = GestureEvaluator(
+        mdm=mdm, mdm_params=mdm_params, diffusion=make_diffusion(steps=4),
+        rvq_modules=rvq_modules, stats=identity_pose_stats(),
+        eval_vae=eval_vae, eval_vae_params=ev_params,
+        smplx_model=synthetic_smplx_model(),
+        mean_velocity=np.full(55, 0.05, np.float32),
+        sampler="ddim",
+    )
+    result = ev.evaluate(cache, jax.random.PRNGKey(2), batch_clips=2)
+    assert result.clips == 3
+    assert np.isfinite(result.fid)
+    assert np.isfinite(result.l1div)
+    assert 0 <= result.bc <= 1
