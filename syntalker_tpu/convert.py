@@ -14,7 +14,10 @@ tests/test_convert.py):
   BatchNorm is an affine map per channel and is folded into the conv
   weights (build the target with ``MDMConfig(audio_norm='none')``); the
   full forward matches to <5e-3 relative error,
-- the legacy face VQVAE and VQEncoder/Decoder stacks (same conv mapping).
+- the FGD eval VAE (:func:`convert_eval_vae`) and the legacy face VQVAE
+  (:func:`convert_face_vqvae`), so FGD / face metrics computed here are
+  numerically comparable to the reference's (its ``weights/*.bin``
+  checkpoints load via :func:`load_torch_eval_checkpoint`).
 
 Layout rules: torch Conv1d (out, in, k) → flax (k, in, out);
 torch Linear (out, in) → flax (in, out); embeddings map directly.
@@ -252,6 +255,118 @@ def convert_mdm(state_dict: Dict, num_layers: int = 8) -> Dict:
     return {"params": params}
 
 
+def _res_block_t(sd: Dict, prefix: str) -> Dict:
+    """ResBlock (layer.py:203-216): model.0 / model.2 convs."""
+    return {
+        "conv1": {
+            "kernel": _conv(sd[f"{prefix}.model.0.weight"]),
+            "bias": sd[f"{prefix}.model.0.bias"],
+        },
+        "conv2": {
+            "kernel": _conv(sd[f"{prefix}.model.2.weight"]),
+            "bias": sd[f"{prefix}.model.2.bias"],
+        },
+    }
+
+
+def _vq_decoder(sd: Dict, prefix: str, num_layers: int, *, upsampling: bool) -> Dict:
+    """VQDecoderV3 (upsampling=True, motion_encoder.py:299-327) or
+    VQDecoderV5 (upsampling=False, :227-257) Sequential -> our param tree.
+
+    Sequential layout: [proj conv (only if input_size != channels[0])],
+    2 ResBlocks, then per stage (Upsample,) Conv, LeakyReLU, and a head conv.
+    """
+    out: Dict = {}
+    has_proj = f"{prefix}.main.0.weight" in sd  # main.0 is a conv, not ResBlock
+    p = 1 if has_proj else 0
+    if has_proj:
+        out["proj"] = {
+            "kernel": _conv(sd[f"{prefix}.main.0.weight"]),
+            "bias": sd[f"{prefix}.main.0.bias"],
+        }
+    out["res_0"] = _res_block_t(sd, f"{prefix}.main.{p}")
+    out["res_1"] = _res_block_t(sd, f"{prefix}.main.{p + 1}")
+    stage_stride = 3 if upsampling else 2  # V3 stages carry a param-less Upsample
+    conv_off = 1 if upsampling else 0
+    name = "up" if upsampling else "conv"
+    for i in range(num_layers):
+        idx = p + 2 + stage_stride * i + conv_off
+        out[f"{name}_{i}"] = {
+            "kernel": _conv(sd[f"{prefix}.main.{idx}.weight"]),
+            "bias": sd[f"{prefix}.main.{idx}.bias"],
+        }
+    head = p + 2 + stage_stride * num_layers
+    out["head"] = {
+        "kernel": _conv(sd[f"{prefix}.main.{head}.weight"]),
+        "bias": sd[f"{prefix}.main.{head}.bias"],
+    }
+    return out
+
+
+def convert_eval_vae(state_dict: Dict, num_layers: int = 4) -> Dict:
+    """Reference VAESKConv (motion_representation.py:67-75) -> our
+    :class:`~syntalker_tpu.models.eval_vae.VAESKConv` params.
+
+    Encoder: LocalEncoder layers.{i}.0 = SkeletonResidual
+    (utils/skeleton.py:547-585): residual.0 masked conv, residual.1
+    GroupNorm(10), shortcut k=1 conv. The 0/1 topology masks are static and
+    re-derived on our side, so only weight/bias transfer. The reference's
+    ``fc_mu``/``fc_logvar`` heads are skipped: the eval model is used
+    non-variationally (VAEConv.map2latent with variational=False, :55-61),
+    so they never touch the FGD embedding.
+
+    Use on ``weights/AESKConv_240_100.bin`` (configs/diffusion_rvqvae_128.yaml
+    e_name=VAESKConv) to compute FGD comparable to the reference's.
+    """
+    sd = {k.removeprefix("module."): _np(v) for k, v in state_dict.items()}
+    enc: Dict = {}
+    for i in range(num_layers):
+        base = f"encoder.layers.{i}.0"
+        enc[f"layer_{i}"] = {
+            "conv": {
+                "kernel": _conv(sd[f"{base}.residual.0.weight"]),
+                "bias": sd[f"{base}.residual.0.bias"],
+            },
+            "norm": {
+                "scale": sd[f"{base}.residual.1.weight"],
+                "bias": sd[f"{base}.residual.1.bias"],
+            },
+            "shortcut": {
+                "kernel": _conv(sd[f"{base}.shortcut.weight"]),
+                "bias": sd[f"{base}.shortcut.bias"],
+            },
+        }
+    params = {
+        "encoder": enc,
+        "decoder": _vq_decoder(sd, "decoder", num_layers, upsampling=True),
+    }
+    return {"params": params}
+
+
+def convert_face_vqvae(state_dict: Dict, num_layers: int = 2) -> Dict:
+    """Reference VQVAEConvZero (motion_representation.py:178-211) -> our
+    :class:`~syntalker_tpu.models.eval_vae.VQVAEConvZero` params.
+
+    Encoder VQEncoderV5 (motion_encoder.py:159-189): Sequential
+    [Conv,LeakyReLU,ResBlock] x n; quantizer codebook is the nn.Embedding
+    weight (quantizer.py:14); decoder VQDecoderV5.
+    """
+    sd = {k.removeprefix("module."): _np(v) for k, v in state_dict.items()}
+    enc: Dict = {}
+    for i in range(num_layers):
+        enc[f"conv_{i}"] = {
+            "kernel": _conv(sd[f"encoder.main.{3 * i}.weight"]),
+            "bias": sd[f"encoder.main.{3 * i}.bias"],
+        }
+        enc[f"res_{i}"] = _res_block_t(sd, f"encoder.main.{3 * i + 2}")
+    params = {
+        "encoder": enc,
+        "decoder": _vq_decoder(sd, "decoder", num_layers, upsampling=False),
+        "codebook": sd["quantizer.embedding.weight"],
+    }
+    return {"params": params}
+
+
 def load_torch_rvqvae(path: str, **kw) -> Tuple[Dict, RVQState]:
     """Load a reference net_*.pth ({'net': state_dict}) and convert."""
     import torch
@@ -261,3 +376,15 @@ def load_torch_rvqvae(path: str, **kw) -> Tuple[Dict, RVQState]:
     # strip DataParallel prefixes (other_tools.py:771-791 semantics)
     sd = {k.removeprefix("module."): v for k, v in sd.items()}
     return convert_rvqvae(sd, **kw)
+
+
+def load_torch_eval_checkpoint(path: str) -> Dict:
+    """Load a reference eval checkpoint ({'model_state': state_dict}) and
+    return the DataParallel-prefix-stripped state_dict
+    (other_tools.py:771-791 semantics). Feed to :func:`convert_eval_vae`
+    (AESKConv_240_100.bin) or :func:`convert_face_vqvae` (face VQVAE)."""
+    import torch
+
+    blob = torch.load(path, map_location="cpu")
+    sd = blob.get("model_state", blob)
+    return {k.removeprefix("module."): v for k, v in sd.items()}

@@ -217,7 +217,9 @@ class SkeletonResidual(nn.Module):
             padding=pad,
             name="conv",
         )(x)
-        res = nn.GroupNorm(num_groups=10, name="norm")(res)
+        # epsilon matches torch.nn.GroupNorm (1e-5) so converted reference
+        # checkpoints are numerically exact (flax default is 1e-6)
+        res = nn.GroupNorm(num_groups=10, epsilon=1e-5, name="norm")(res)
         short = SkeletonConv(
             self.neighbour_list,
             self.in_per_joint,

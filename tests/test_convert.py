@@ -208,3 +208,125 @@ class TestMDMConversion:
         denom = np.abs(out_ref).max() + 1e-9
         rel = np.abs(out - out_ref).max() / denom
         assert rel < 5e-3, f"relative error {rel}"
+
+
+def _stub_ref_deps():
+    """Stub the reference's unavailable imports (smplx/lmdb/fasttext/loguru)."""
+    import types as _t
+
+    for name in ("lmdb", "fasttext", "smplx"):
+        sys.modules.setdefault(name, _t.ModuleType(name))
+    if "loguru" not in sys.modules:
+        loguru = _t.ModuleType("loguru")
+        loguru.logger = _t.SimpleNamespace(
+            info=lambda *a, **k: None, warning=lambda *a, **k: None
+        )
+        sys.modules["loguru"] = loguru
+
+
+@pytest.fixture(scope="module")
+def ref_eval_vae():
+    """Reference VAESKConv equivalent (LocalEncoder + VQDecoderV3 composed
+    directly — motion_representation.py:67-75 only additionally loads the
+    SMPL-X kintree from an npz we don't have; the topology is our PARENTS)."""
+    sys.path.insert(0, REF)
+    _stub_ref_deps()
+    from models.motion_encoder import LocalEncoder, VQDecoderV3
+    from models.utils.skeleton import build_edge_topology as ref_edges
+
+    from syntalker_tpu.ops.smplx import PARENTS
+
+    args = types.SimpleNamespace(
+        vae_layer=4, vae_length=240, vae_test_dim=330, vae_grow=[1, 1, 2, 1],
+    )
+    torch.manual_seed(0)
+
+    class RefEvalVAE(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.encoder = LocalEncoder(args, ref_edges([int(p) for p in PARENTS]))
+            self.decoder = VQDecoderV3(args)
+
+    return RefEvalVAE().eval()
+
+
+class TestEvalVAEConversion:
+    """FGD oracle parity: converted VAESKConv must reproduce the reference's
+    map2latent embedding (the FGD feature space) and reconstruction."""
+
+    def test_map2latent_and_decode(self, ref_eval_vae):
+        import jax.numpy as jnp
+
+        from syntalker_tpu.convert import convert_eval_vae
+        from syntalker_tpu.models.eval_vae import VAESKConv
+
+        x = _x(b=2, t=32, d=330, seed=5)
+        with torch.no_grad():
+            z_ref = ref_eval_vae.encoder(torch.from_numpy(x.copy())).numpy()
+            rec_ref = ref_eval_vae.decoder(torch.from_numpy(z_ref.copy())).numpy()
+
+        module = VAESKConv()
+        variables = convert_eval_vae(ref_eval_vae.state_dict())
+        z = np.asarray(
+            module.apply(variables, jnp.asarray(x), method="map2latent")
+        )
+        assert z.shape == z_ref.shape
+        np.testing.assert_allclose(z, z_ref, atol=2e-5)
+        rec = np.asarray(module.apply(variables, jnp.asarray(z_ref), method="decode"))
+        np.testing.assert_allclose(rec, rec_ref, atol=2e-5)
+
+
+@pytest.fixture(scope="module")
+def ref_face_vqvae():
+    """Reference face VQVAE (VQVAEConvZero's parts composed directly —
+    motion_representation.py:178-211; avoids the module's smplx import)."""
+    sys.path.insert(0, REF)
+    _stub_ref_deps()
+    from models.motion_encoder import VQDecoderV5, VQEncoderV5
+    from models.quantizer import Quantizer
+
+    args = types.SimpleNamespace(
+        vae_layer=2, vae_length=256, vae_test_dim=106,
+        vae_codebook_size=256, vae_quantizer_lambda=0.25,
+    )
+    torch.manual_seed(1)
+
+    class RefFaceVQVAE(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.encoder = VQEncoderV5(args)
+            self.quantizer = Quantizer(
+                args.vae_codebook_size, args.vae_length, args.vae_quantizer_lambda
+            )
+            self.decoder = VQDecoderV5(args)
+
+    return RefFaceVQVAE().eval()
+
+
+class TestFaceVQVAEConversion:
+    def test_map2index_and_decode(self, ref_face_vqvae):
+        import jax.numpy as jnp
+
+        from syntalker_tpu.convert import convert_face_vqvae
+        from syntalker_tpu.models.eval_vae import VQVAEConvZero
+
+        x = _x(b=2, t=34, d=106, seed=7)
+        with torch.no_grad():
+            z = ref_face_vqvae.encoder(torch.from_numpy(x.copy()))
+            idx_ref = ref_face_vqvae.quantizer.map2index(z).numpy()
+            zq = ref_face_vqvae.quantizer.get_codebook_entry(
+                torch.from_numpy(idx_ref.copy())
+            )
+            rec_ref = ref_face_vqvae.decoder(zq).numpy()
+
+        module = VQVAEConvZero()
+        variables = convert_face_vqvae(ref_face_vqvae.state_dict())
+        idx = np.asarray(
+            module.apply(variables, jnp.asarray(x), method="map2index")
+        ).reshape(idx_ref.shape)
+        mismatch = (idx != idx_ref).mean()
+        assert mismatch < 0.01, f"face token mismatch rate {mismatch}"
+        rec = np.asarray(
+            module.apply(variables, jnp.asarray(idx_ref), method="decode_indices")
+        )
+        np.testing.assert_allclose(rec, rec_ref, atol=2e-5)
