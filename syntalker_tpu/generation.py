@@ -124,6 +124,7 @@ def sample_windows(
     sampler: str = "ddpm",
     prompts: Optional[Dict[str, jax.Array]] = None,
     guidance: Optional[dict] = None,
+    uncond_audio: bool | jax.Array = False,  # traced: one compile serves both
 ) -> jax.Array:
     """Autoregressive windowed sampling; returns stitched latents
     (B, out_latent_frames, 1536) in the model's (÷latent_scale) space."""
@@ -165,7 +166,7 @@ def sample_windows(
         key, k_samp = jax.random.split(key)
 
         if not use_cfg:
-            cond = encode(audio, word, seed)
+            cond = encode(audio, word, seed, uncond_audio=uncond_audio)
             model_fn = lambda x, t: denoise_fn(x, t, cond)  # noqa: E731
         else:
             cond_audio = encode(audio, word, seed, uncond_prompt=True)
