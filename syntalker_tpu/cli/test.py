@@ -29,7 +29,12 @@ from syntalker_tpu.train.loop import load_rvq_stack
 log = logging.getLogger("syntalker")
 
 
-def build_evaluator(cfg: ExperimentConfig, smplx_model=None, eval_vae_ckpt: str = ""):
+def build_evaluator(
+    cfg: ExperimentConfig,
+    smplx_model=None,
+    eval_vae_ckpt: str = "",
+    mean_velocity: np.ndarray | None = None,
+):
     rng = jax.random.PRNGKey(cfg.train.seed)
     mdm, mdm_params = create_mdm(cfg.mdm, rng, frames=cfg.data.pose_length)
     if cfg.test_ckpt:
@@ -56,7 +61,11 @@ def build_evaluator(cfg: ExperimentConfig, smplx_model=None, eval_vae_ckpt: str 
     mean_vel_path = (
         Path(cfg.data.data_path) / "weights" / "mean_vel_smplxflame_30.npy"
     )
-    mean_vel = np.load(mean_vel_path) if mean_vel_path.exists() else None
+    mean_vel = (
+        mean_velocity
+        if mean_velocity is not None
+        else (np.load(mean_vel_path) if mean_vel_path.exists() else None)
+    )
 
     return GestureEvaluator(
         mdm=mdm,
@@ -95,7 +104,27 @@ def main(argv=None):
         cfg=ClipConfig(pose_length=cfg.data.pose_length),
         smplx_model=smplx_model,
     )
-    evaluator = build_evaluator(cfg, smplx_model, args.eval_vae_ckpt)
+    # mean joint velocity (BeatAlign normalizer): load the dataset stat if
+    # shipped, else compute it in-framework from the test clips via JAX FK
+    # (replaces the reference's offline calculate_mean_velocity,
+    # beat_sep_lower.py:117-197) and persist it beside the cache.
+    mean_vel = None
+    mv_file = Path(cfg.data.data_path) / "weights" / "mean_vel_smplxflame_30.npy"
+    if not mv_file.exists() and smplx_model is not None:
+        from syntalker_tpu.data.stats import compute_mean_velocity_from_clips
+
+        mv_cache = Path(cfg.data.cache_path) / "mean_vel_smplxflame_30.npy"
+        if mv_cache.exists():
+            mean_vel = np.load(mv_cache)
+        else:
+            log.info("computing mean joint velocity from cached clips (JAX FK)")
+            mean_vel = compute_mean_velocity_from_clips(
+                list(test_cache.clips.values()), smplx_model
+            )
+            mv_cache.parent.mkdir(parents=True, exist_ok=True)
+            np.save(mv_cache, mean_vel)
+
+    evaluator = build_evaluator(cfg, smplx_model, args.eval_vae_ckpt, mean_vel)
     result = evaluator.evaluate(
         test_cache,
         jax.random.PRNGKey(999),

@@ -23,6 +23,7 @@ log = logging.getLogger("syntalker")
 POSE_DIR = "smplxflame_30"
 WAVE_DIR = "wave16k"
 TEXT_DIR = "textgrid"
+SEM_DIR = "sem"  # BEAT semantic-relevance tsv per clip (--sem_rep)
 
 
 def read_split(data_path: str | Path, split: str, speakers: Sequence[int]) -> list[str]:
@@ -71,6 +72,9 @@ def build_beat_cache(
         if not pose.exists() or not wav.exists():
             log.warning(f"skipping {clip_id}: missing pose/audio file")
             continue
+        # per-frame semantic scores (SRGR) when the BEAT sem annotations are
+        # present (reference --sem_rep, beat_sep_lower.py:579-596)
+        sem = data_path / SEM_DIR / f"{clip_id}.txt"
         arrays = preprocess_clip(
             pose,
             wav,
@@ -78,6 +82,7 @@ def build_beat_cache(
             vocab,
             cfg,
             smplx_model=smplx_model,
+            sem_path=sem if sem.exists() else None,
         )
         cache.add_clip(clip_id, arrays, cfg, is_test=(split == "test"))
         log.info(f"cached {clip_id}: {arrays['poses'].shape[0]} frames")

@@ -60,6 +60,41 @@ def emotion_label(clip_id: str) -> int:
     return 0
 
 
+def parse_sem_scores(
+    sem_path: str | Path,
+    n_frames: int,
+    pose_fps: int = 30,
+    time_offset: float = 0.0,
+) -> np.ndarray:
+    """Per-frame semantic relevance from a BEAT sem .txt
+    (tab-separated: name, start_time, end_time, duration, score, keywords;
+    beat_sep_lower.py:579-596). Frames outside any span score 0.
+
+    Vectorized over spans instead of the reference's per-frame linear scan;
+    the reference takes the FIRST matching span, so overlapping spans are
+    resolved by earliest-row-wins here too."""
+    spans = []
+    with open(sem_path) as f:
+        for line in f:
+            parts = line.rstrip("\n").split("\t")
+            if len(parts) < 5:
+                continue
+            try:
+                spans.append((float(parts[1]), float(parts[2]), float(parts[4])))
+            except ValueError:
+                continue
+    scores = np.zeros(n_frames, np.float32)
+    if not spans:
+        return scores
+    t = np.arange(n_frames, dtype=np.float64) / pose_fps + time_offset
+    assigned = np.zeros(n_frames, bool)
+    for start, end, score in spans:  # first match wins
+        hit = (t >= start) & (t <= end) & ~assigned
+        scores[hit] = score
+        assigned |= hit
+    return scores
+
+
 def trans_velocity(trans: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """Root-zeroed translation + per-frame x/z velocity with y passthrough
     (beat_sep_lower.py:258-267)."""
@@ -83,6 +118,7 @@ def preprocess_clip(
     vocab: Optional[Vocab],
     cfg: ClipConfig = ClipConfig(),
     smplx_model=None,
+    sem_path: Optional[str | Path] = None,
 ) -> Dict[str, np.ndarray]:
     """One BEAT2 clip -> aligned per-frame arrays (cache_generation
     semantics, beat_sep_lower.py:224-617)."""
@@ -145,6 +181,11 @@ def preprocess_clip(
     else:
         out["word"] = np.zeros(n, np.int32)
     out["emo"] = np.full(n, emotion_label(Path(pose_npz).stem), np.int32)
+    out["sem"] = (
+        parse_sem_scores(sem_path, n, cfg.pose_fps)
+        if sem_path is not None and Path(sem_path).exists()
+        else np.zeros(n, np.float32)
+    )
     return out
 
 
@@ -256,6 +297,13 @@ class BeatCache:
             "beta": betas.astype(np.float32),
             "word": c["word"][sl].astype(np.int32),
             "emo": c["emo"][sl],
+            # per-frame semantic relevance (SRGR weighting); zeros for caches
+            # built before the sem channel existed
+            "sem": (
+                c["sem"][sl].astype(np.float32)
+                if "sem" in c
+                else np.zeros(w.length, np.float32)
+            ),
             "id": np.zeros(w.length, np.int32),
         }
         if "h3d" in c:

@@ -125,15 +125,64 @@ def compute_h3d_stats(h3d_feats: np.ndarray) -> "H3DStats":
 def compute_mean_joint_velocity(
     joints_per_clip: list[np.ndarray], fps: int = 30
 ) -> np.ndarray:
-    """Per-joint mean speed over a dataset (mix_sep.py:175+,
-    weights/mean_vel_smplxflame_30.npy) — normalizes BeatAlign velocities."""
+    """Per-joint mean speed over a dataset (beat_sep_lower.py:117-197,
+    weights/mean_vel_smplxflame_30.npy) — normalizes BeatAlign velocities.
+
+    Matches the reference's finite-difference scheme exactly: forward diff
+    at the first frame, central diff in the middle, backward diff at the
+    last — so every frame contributes one speed sample."""
     sums = np.zeros(55)
     count = 0
     for joints in joints_per_clip:  # (T, 55, 3)
-        v = np.linalg.norm(joints[1:] - joints[:-1], axis=2) * fps
-        sums += v.sum(0)
-        count += v.shape[0]
+        dt = 1.0 / fps
+        init = (joints[1:2] - joints[0:1]) / dt
+        mid = (joints[2:] - joints[:-2]) / (2 * dt)
+        fin = (joints[-1:] - joints[-2:-1]) / dt
+        vel = np.concatenate([init, mid, fin], axis=0)  # (T, 55, 3)
+        speed = np.linalg.norm(vel, axis=2)
+        sums += speed.sum(0)
+        count += speed.shape[0]
     return (sums / max(count, 1)).astype(np.float32)
+
+
+def compute_mean_velocity_from_clips(
+    clips: list[dict], smplx_model, fps: int = 30, chunk: int = 512
+) -> np.ndarray:
+    """In-framework replacement for the reference's offline
+    ``calculate_mean_velocity`` (beat_sep_lower.py:117-197): run the JAX
+    SMPL-X joint FK over each cached clip's poses/betas/trans/expressions
+    and average per-joint speeds. Returns the (55,) array the reference
+    saves as ``weights/mean_vel_*.npy``."""
+    import jax
+    import jax.numpy as jnp
+
+    from syntalker_tpu.ops.smplx import forward_joints
+
+    fk = jax.jit(lambda p, b, t, e: forward_joints(smplx_model, p, b, t, e))
+    joints_per_clip = []
+    for c in clips:
+        poses = np.asarray(c["poses"], np.float32)
+        n = poses.shape[0]
+        betas = np.tile(np.asarray(c["betas"], np.float32).reshape(1, -1), (n, 1))
+        trans = np.asarray(c["trans"], np.float32)
+        exps = np.asarray(c.get("facial"), np.float32) if c.get("facial") is not None else None
+        outs = []
+        for s in range(0, n, chunk):
+            e = min(s + chunk, n)
+            # pad the tail chunk so every call reuses one compiled shape
+            pad = chunk - (e - s)
+            sl = slice(s, e)
+            p_, b_, t_ = (np.pad(a[sl], ((0, pad),) + ((0, 0),) * (a.ndim - 1)) for a in (poses, betas, trans))
+            x_ = (
+                np.pad(exps[sl, :100], ((0, pad), (0, 0)))
+                if exps is not None and exps.shape[1] >= 100
+                else None
+            )
+            j = np.asarray(fk(jnp.asarray(p_), jnp.asarray(b_), jnp.asarray(t_),
+                              jnp.asarray(x_) if x_ is not None else None))
+            outs.append(j[: e - s])
+        joints_per_clip.append(np.concatenate(outs, axis=0))
+    return compute_mean_joint_velocity(joints_per_clip, fps=fps)
 
 
 def identity_pose_stats() -> PoseStats:

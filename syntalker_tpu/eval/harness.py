@@ -30,7 +30,7 @@ from syntalker_tpu import generation as G
 from syntalker_tpu.data import joints as J
 from syntalker_tpu.data.cache import BeatCache
 from syntalker_tpu.data.features import pose_to_part_rot6d
-from syntalker_tpu.eval.metrics import BeatAligner, L1Div, frechet_distance
+from syntalker_tpu.eval.metrics import SRGR, BeatAligner, L1Div, frechet_distance
 from syntalker_tpu.train.diffusion_trainer import make_latent_encoder
 
 log = logging.getLogger("syntalker")
@@ -41,6 +41,7 @@ class EvalResult:
     fid: float
     bc: float
     l1div: float
+    srgr: float  # nan when the cache has no semantic scores
     clips: int
     motion_seconds: float
     wall_seconds: float
@@ -251,6 +252,10 @@ class GestureEvaluator:
         t0 = time.perf_counter()
         lat_rec, lat_gt = [], []
         l1 = L1Div()
+        # semantic-relevant gesture recall over SMPL-X joints, weighted by
+        # the cache's per-frame sem scores (beat_sep_lower.py:579-596)
+        srgr = SRGR(joints=55)
+        have_sem = False
         align_sum, align_frames = 0.0, 0
         total_frames = 0
         self._face_l2 = 0.0
@@ -326,6 +331,17 @@ class GestureEvaluator:
                 dv = (face_rec[1:] - face_rec[:-1]) - (face_tar[1:] - face_tar[:-1])
                 self._face_lvd += float(jnp.mean(jnp.abs(dv))) * n
                 l1.update(joints.copy())
+                sem = sample.get("sem")
+                if sem is not None and np.any(sem[:n] != 0):
+                    have_sem = True
+                    gt_joints = np.asarray(
+                        S.forward_joints(
+                            self.smplx_model,
+                            jnp.asarray(out["gt_aa"][0]),
+                            jnp.asarray(np.tile(out["betas"], (n, 1))),
+                        )
+                    ).reshape(n, -1)
+                    srgr.update(joints, gt_joints, np.asarray(sem[:n]))
                 if self.aligner is not None and "audio" in sample:
                     onset = sample["audio"][:, 1]
                     t_on = np.nonzero(onset)[0] / 16000.0
@@ -378,6 +394,7 @@ class GestureEvaluator:
             fid=fid,
             bc=bc,
             l1div=l1.result() if l1.counter else float("nan"),
+            srgr=srgr.result() if have_sem else float("nan"),
             clips=n_clips,
             motion_seconds=total_frames / 30.0,
             wall_seconds=time.perf_counter() - t0,

@@ -189,3 +189,106 @@ class TestFeaturization:
             np.asarray(parts["full"][..., J.LOWER_6D_IDX]),
             atol=1e-6,
         )
+
+
+class TestSemChannel:
+    def test_parse_sem_scores(self, tmp_path):
+        """Golden: reference semantics — first matching span wins, frames
+        outside any span are 0 (beat_sep_lower.py:579-596)."""
+        from syntalker_tpu.data.cache import parse_sem_scores
+
+        f = tmp_path / "clip.txt"
+        f.write_text(
+            "sem\t0.0\t0.5\t0.5\t0.8\thello\n"
+            "sem\t0.4\t1.0\t0.6\t0.3\tworld\n"  # overlaps: earlier row wins
+            "junk line without tabs\n"
+            "sem\t2.0\t2.5\t0.5\t1.0\tlate\n"
+        )
+        s = parse_sem_scores(f, n_frames=90, pose_fps=30)
+        assert s.shape == (90,)
+        # frames 0..15 (t<=0.5) -> 0.8 ; frames 16..30 (0.53..1.0) -> 0.3
+        np.testing.assert_allclose(s[:16], 0.8)
+        np.testing.assert_allclose(s[16:31], 0.3)
+        np.testing.assert_allclose(s[31:60], 0.0)  # gap
+        np.testing.assert_allclose(s[60:76], 1.0)  # 2.0..2.5s
+        np.testing.assert_allclose(s[76:], 0.0)
+
+    def test_cache_roundtrip_includes_sem(self, tmp_path):
+        from syntalker_tpu.data.cache import BeatCache, ClipConfig
+
+        n = 128
+        rng = np.random.default_rng(0)
+        arrays = {
+            "poses": rng.normal(size=(n, 165)).astype(np.float32),
+            "trans": np.zeros((n, 3), np.float32),
+            "trans_v": np.zeros((n, 3), np.float32),
+            "betas": np.zeros(300, np.float32),
+            "facial": np.zeros((n, 100), np.float32),
+            "contacts": np.zeros((n, 4), np.float32),
+            "word": np.zeros(n, np.int32),
+            "emo": np.zeros(n, np.int32),
+            "sem": np.linspace(0, 1, n).astype(np.float32),
+            "audio": np.zeros((n * 533, 2), np.float32),
+        }
+        cache = BeatCache(tmp_path / "c")
+        cache.add_clip("clip", arrays, ClipConfig(pose_length=64, stride=32), is_test=False)
+        cache.save_index()
+        reopened = BeatCache.open(tmp_path / "c")
+        s = reopened.get(1)
+        assert s["sem"].shape == (64,)
+        np.testing.assert_allclose(s["sem"], arrays["sem"][32 : 32 + 64], atol=1e-6)
+
+
+class TestMeanVelocity:
+    def test_reference_diff_scheme(self):
+        """Golden: central/one-sided scheme of beat_sep_lower.py:117-197."""
+        from syntalker_tpu.data.stats import compute_mean_joint_velocity
+
+        t = np.arange(5, dtype=np.float32)
+        joints = np.zeros((5, 55, 3), np.float32)
+        joints[:, 0, 0] = t**2  # x(t)=t^2 -> dx/dt=2t
+        mv = compute_mean_joint_velocity([joints], fps=30)
+        dt = 1 / 30
+        expect = np.array([
+            (1 - 0) / dt,       # forward diff at t=0
+            (4 - 0) / (2 * dt), # central
+            (9 - 1) / (2 * dt),
+            (16 - 4) / (2 * dt),
+            (16 - 9) / dt,      # backward at the end
+        ]).mean()
+        np.testing.assert_allclose(mv[0], expect, rtol=1e-6)
+        np.testing.assert_allclose(mv[1:], 0.0)
+
+    def test_from_clips_via_fk(self):
+        """End-to-end: FK a tiny synthetic clip and check the stat matches
+        hand-computing the same scheme on the FK joints."""
+        import jax.numpy as jnp
+
+        from syntalker_tpu.data.stats import (
+            compute_mean_joint_velocity,
+            compute_mean_velocity_from_clips,
+        )
+        from syntalker_tpu.ops.smplx import forward_joints, synthetic_smplx_model
+
+        model = synthetic_smplx_model()
+        rng = np.random.default_rng(1)
+        n = 37  # force a padded tail chunk
+        clip = {
+            "poses": (0.1 * rng.normal(size=(n, 165))).astype(np.float32),
+            "betas": np.zeros(300, np.float32),
+            "trans": rng.normal(size=(n, 3)).astype(np.float32),
+            "facial": np.zeros((n, 100), np.float32),
+        }
+        mv = compute_mean_velocity_from_clips([clip], model, chunk=16)
+        joints = np.asarray(
+            forward_joints(
+                model,
+                jnp.asarray(clip["poses"]),
+                jnp.asarray(np.tile(clip["betas"], (n, 1))),
+                jnp.asarray(clip["trans"]),
+                jnp.asarray(clip["facial"]),
+            )
+        )
+        expect = compute_mean_joint_velocity([joints], fps=30)
+        np.testing.assert_allclose(mv, expect, rtol=1e-4, atol=1e-5)
+        assert mv.shape == (55,) and np.all(mv >= 0)
