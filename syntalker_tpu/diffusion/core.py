@@ -94,6 +94,31 @@ def training_loss(
 # ---------------------------------------------------------------------------
 # samplers (single lax.scan over timesteps)
 # ---------------------------------------------------------------------------
+#
+# `rng` may be a single PRNG key or a batch of per-row keys (B, 2): with
+# per-row keys every batch row consumes exactly the stream a batch-1 run
+# with that key would, so batched evaluation reproduces sequential
+# evaluation bitwise (protocol equivalence for the eval harness).
+
+
+def _rng_split(rng):
+    if rng.ndim == 2:
+        out = jax.vmap(lambda k: jax.random.split(k))(rng)  # (B, 2, 2)
+        return out[:, 0], out[:, 1]
+    return jax.random.split(rng)
+
+
+def _rng_fold(rng, i):
+    if rng.ndim == 2:
+        return jax.vmap(lambda k: jax.random.fold_in(k, i))(rng)
+    return jax.random.fold_in(rng, i)
+
+
+def _rng_normal(rng, shape):
+    if rng.ndim == 2:
+        # per-row draw: identical values to a (1, ...) draw from the same key
+        return jax.vmap(lambda k: jax.random.normal(k, shape[1:]))(rng)
+    return jax.random.normal(rng, shape)
 
 
 def ddpm_sample(
@@ -107,8 +132,8 @@ def ddpm_sample(
 ) -> jax.Array:
     """Ancestral sampling with FIXED_SMALL variance
     (p_sample_loop, gaussian_diffusion.py:505-671)."""
-    rng, k0 = jax.random.split(rng)
-    x = init_noise if init_noise is not None else jax.random.normal(k0, shape)
+    rng, k0 = _rng_split(rng)
+    x = init_noise if init_noise is not None else _rng_normal(k0, shape)
     b = shape[0]
     tmap = jnp.asarray(params.timestep_map)
 
@@ -120,7 +145,7 @@ def ddpm_sample(
             pred_x0 = jnp.clip(pred_x0, -1.0, 1.0)
         mean = q_posterior_mean(params, pred_x0, x, t)
         logvar = params.gather("posterior_log_variance_clipped", t)
-        noise = jax.random.normal(jax.random.fold_in(rng, it), x.shape)
+        noise = _rng_normal(_rng_fold(rng, it), x.shape)
         nonzero = (i > 0).astype(x.dtype)
         x = mean + nonzero * jnp.exp(0.5 * logvar) * noise
         return x, None
@@ -141,8 +166,8 @@ def ddim_sample(
 ) -> jax.Array:
     """DDIM sampling (gaussian_diffusion.py:741-948), η=0 deterministic by
     default, over the respaced steps in `params`."""
-    rng, k0 = jax.random.split(rng)
-    x = init_noise if init_noise is not None else jax.random.normal(k0, shape)
+    rng, k0 = _rng_split(rng)
+    x = init_noise if init_noise is not None else _rng_normal(k0, shape)
     b = shape[0]
     tmap = jnp.asarray(params.timestep_map)
 
@@ -164,7 +189,7 @@ def ddim_sample(
             jnp.sqrt(abar_prev) * pred_x0
             + jnp.sqrt(jnp.maximum(1 - abar_prev - sigma**2, 0.0)) * eps
         )
-        noise = jax.random.normal(jax.random.fold_in(rng, it), x.shape)
+        noise = _rng_normal(_rng_fold(rng, it), x.shape)
         nonzero = (i > 0).astype(x.dtype)
         x = mean + nonzero * sigma * noise
         return x, None

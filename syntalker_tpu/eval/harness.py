@@ -172,7 +172,7 @@ class GestureEvaluator:
         }
 
     def evaluate_clips_batched(
-        self, samples: list, rng
+        self, samples: list, rngs
     ) -> list:
         """Generate several whole clips in ONE device batch.
 
@@ -181,6 +181,13 @@ class GestureEvaluator:
         run of batch B instead of B runs — the reference evaluated with
         batch_size 1 (test.py:72). Returns per-clip dicts like
         :meth:`evaluate_clip`.
+
+        ``rngs`` is the (B, 2) stack of each clip's OWN key: the samplers
+        consume per-row streams, so every row is bitwise identical to a
+        sequential :meth:`evaluate_clip` call with that key (protocol
+        equivalence with the reference's batch-1 eval; with the default
+        DDIM eta=0 the generated motion matches exactly —
+        tests/test_eval_harness.py pins this).
         """
         b = len(samples)
         plans = [
@@ -213,7 +220,7 @@ class GestureEvaluator:
 
         latents = G.sample_windows(
             self.mdm, self.mdm_params, self.diffusion, plan, aw, ww,
-            init_seed, rng, sampler=self.sampler,
+            init_seed, rngs, sampler=self.sampler,
         )
         dec = G.decode_latents(
             latents, rvq_modules=self.rvq_modules, stats=self.stats,
@@ -285,7 +292,7 @@ class GestureEvaluator:
                     group = idxs[lo : lo + batch_clips]
                     outs = self.evaluate_clips_batched(
                         [all_samples[i] for i in group],
-                        jax.random.fold_in(rng, group[0]),
+                        jnp.stack([jax.random.fold_in(rng, i) for i in group]),
                     )
                     pending.extend(
                         (i, all_samples[i], o) for i, o in zip(group, outs)

@@ -33,7 +33,7 @@ import numpy as np
 
 from syntalker_tpu.data import joints as J
 from syntalker_tpu.diffusion.cfg import make_bodypart_cfg_model_fn
-from syntalker_tpu.diffusion.core import ddim_sample, ddpm_sample
+from syntalker_tpu.diffusion.core import _rng_split, ddim_sample, ddpm_sample
 from syntalker_tpu.diffusion.schedule import DiffusionParams
 from syntalker_tpu.models.denoiser import MDM
 from syntalker_tpu.ops import rotations as rot
@@ -119,7 +119,8 @@ def sample_windows(
     audio_windows: jax.Array,  # (W, B, S_w, 2)
     word_windows: jax.Array,  # (W, B, pose_length)
     init_seed: jax.Array,  # (B, pre_frames, 1536) from GT latents (trainer :429)
-    rng: jax.Array,
+    rng: jax.Array,  # one key, or per-clip keys (B, 2) for batched eval
+                     # that reproduces sequential draws bitwise
     *,
     sampler: str = "ddpm",
     prompts: Optional[Dict[str, jax.Array]] = None,
@@ -163,7 +164,7 @@ def sample_windows(
     def body(carry, xs):
         seed, key = carry
         audio, word = xs
-        key, k_samp = jax.random.split(key)
+        key, k_samp = _rng_split(key)
 
         if not use_cfg:
             cond = encode(audio, word, seed, uncond_audio=uncond_audio)

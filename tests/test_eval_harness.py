@@ -119,16 +119,23 @@ def test_batched_evaluate_matches_shapes(test_cache, tmp_path):
         mdm=mdm, mdm_params=mdm_params, diffusion=make_diffusion(steps=4),
         rvq_modules=rvq_modules, stats=identity_pose_stats(), sampler="ddim",
     )
-    # two identical-length samples -> one bucket of 2
+    # two identical-length samples -> one bucket of 2, each with its own key
     s = test_cache.get(0)
-    outs = ev.evaluate_clips_batched([s, s], jax.random.PRNGKey(1))
+    keys = jnp.stack([jax.random.fold_in(jax.random.PRNGKey(1), i) for i in (0, 1)])
+    outs = ev.evaluate_clips_batched([s, s], keys)
     assert len(outs) == 2
     assert outs[0]["rec_rot6d"].shape == outs[1]["rec_rot6d"].shape
-    # same inputs in the same batch draw different noise rows? identical
-    # inputs share the batch-level key but sampler noise is per-element of
-    # the batch tensor -> outputs may differ; only check finiteness
     assert np.isfinite(outs[0]["rec_aa"]).all()
     assert np.isfinite(outs[1]["rec_aa"]).all()
+
+    # protocol equivalence: each batched row must reproduce a sequential
+    # evaluate_clip with that clip's key bitwise (DDIM eta=0; VERDICT #6)
+    for i in range(2):
+        seq = ev.evaluate_clip(s, keys[i])
+        np.testing.assert_allclose(
+            outs[i]["rec_rot6d"], seq["rec_rot6d"], atol=1e-5,
+            err_msg=f"batched row {i} != sequential",
+        )
 
 
 def test_multiclip_batched_eval_full_metrics(tmp_path):
