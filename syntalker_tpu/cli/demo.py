@@ -5,8 +5,9 @@ Usage: python -m syntalker_tpu.cli.demo -c configs/diffusion_beat2.yaml
 Capability parity with the reference ``demo.py`` (Gradio app :700-761).
 The ASR step (whisper-tiny, demo.py:41-46) and forced alignment (MFA
 subprocess, :76-78) are optional preprocessing: with a local whisper
-snapshot we transcribe and spread words uniformly; without one the model
-runs audio-only (word ids = silence), which the denoiser supports.
+snapshot we transcribe and energy-align the words over voiced audio
+(generate.py --transcript); without one the model runs audio-only
+(word ids = silence), which the denoiser supports.
 Falls back to a one-shot CLI when gradio is not installed.
 """
 
@@ -37,13 +38,15 @@ def transcribe_if_available(wav_path: str, whisper_path: str = "") -> str:
         return ""
 
 
-def run_one(cfg_path, overrides, wav_path, prompts, run_dir):
+def run_one(cfg_path, overrides, wav_path, prompts, run_dir, transcript=""):
     from syntalker_tpu.cli import generate as gen_cli
 
     out = Path(run_dir) / "demo_out.npz"
     argv = ["-c", cfg_path, "--wav", wav_path, "--out", str(out), "--render",
             "--run-dir", run_dir] if cfg_path else [
         "--wav", wav_path, "--out", str(out), "--render", "--run-dir", run_dir]
+    if transcript:
+        argv += ["--transcript", transcript]
     for part, text in (prompts or {}).items():
         if text:
             argv += [f"--{part}-prompt", text]
@@ -56,12 +59,16 @@ def run_one(cfg_path, overrides, wav_path, prompts, run_dir):
 def main(argv=None):
     p = base_parser(__doc__)
     p.add_argument("--wav", type=str, default="", help="one-shot mode input")
+    p.add_argument("--whisper-path", type=str, default="",
+                   help="local whisper snapshot for ASR (optional)")
     p.add_argument("--share", action="store_true")
     args = p.parse_args(argv)
     setup(args)
 
     if args.wav:  # one-shot CLI mode
-        video = run_one(args.config, args.overrides, args.wav, {}, args.run_dir)
+        text = transcribe_if_available(args.wav, args.whisper_path)
+        video = run_one(args.config, args.overrides, args.wav, {}, args.run_dir,
+                        transcript=text)
         log.info(f"demo output: {video}")
         return
 
@@ -79,6 +86,9 @@ def main(argv=None):
             audio_file,
             {"upper": upper, "hands": hands, "lower": lower},
             tempfile.mkdtemp(),
+            transcript=transcribe_if_available(
+                audio_file, args.whisper_path
+            ),
         )
 
     gr.Interface(

@@ -39,6 +39,11 @@ def main(argv=None):
     p = base_parser(__doc__)
     p.add_argument("--wav", type=str, required=True)
     p.add_argument("--textgrid", type=str, default="")
+    p.add_argument(
+        "--transcript", type=str, default="",
+        help="transcript text; energy-aligned to the audio when no TextGrid "
+             "is given (stand-in for the reference's MFA step, demo.py:76-78)",
+    )
     p.add_argument("--out", type=str, default="./outputs/generated.npz")
     p.add_argument("--render", action="store_true")
     p.add_argument("--upper-prompt", type=str, default="")
@@ -74,6 +79,12 @@ def main(argv=None):
     if args.textgrid and cfg.data.vocab_path:
         vocab = Vocab.load(cfg.data.vocab_path)
         word = words_to_frame_ids(words_tier(args.textgrid), n_frames, vocab)[None]
+    elif args.transcript and cfg.data.vocab_path:
+        # no forced alignment available: place words over voiced audio by
+        # cumulative-energy share instead of uniformly
+        vocab = Vocab.load(cfg.data.vocab_path)
+        intervals = A.align_words_by_energy(args.transcript.split(), y, sr)
+        word = words_to_frame_ids(intervals, n_frames, vocab)[None]
     else:
         word = np.zeros((1, n_frames), np.int32)
 

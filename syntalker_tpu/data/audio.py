@@ -241,3 +241,62 @@ def wav2vec2_features(
     frac = (src - lo)[:, None]
     h = hidden.numpy()
     return (h[lo] * (1 - frac) + h[hi] * frac).astype(np.float32)
+
+
+def align_words_by_energy(
+    words: "list[str]",
+    y: np.ndarray,
+    sr: int = 16000,
+    *,
+    frame_length: int = 1024,
+    silence_rel: float = 0.1,
+):
+    """Energy-weighted word alignment: transcript words -> time intervals.
+
+    Stand-in for the reference demo's MFA forced alignment (demo.py:76-78)
+    when no aligner is available. The uniform spreading it replaces assigned
+    words to silence; here words are placed over *voiced* audio only, each
+    word covering an equal share of the clip's cumulative RMS energy — a
+    crude monotonic aligner that respects pauses (speech rate ~ energy
+    mass). Returns textgrid-style Interval objects consumable by
+    :func:`syntalker_tpu.data.vocab.words_to_frame_ids` (silence gaps get
+    empty-mark intervals -> PAD, matching TextGrid semantics).
+    """
+    from syntalker_tpu.data.textgrid import Interval
+
+    words = [w for w in words if w.strip()]
+    duration = len(y) / sr
+    if not words or duration == 0:
+        return [Interval(0.0, duration, "")]
+
+    env = amplitude_envelope(np.abs(y).astype(np.float32), frame_length)
+    hop_t = 1.0 / sr  # the envelope is per-sample (rolling max, stride 1)
+    voiced = env > silence_rel * (env.max() + 1e-12)
+    energy = np.where(voiced, env, 0.0).astype(np.float64)
+    cum = np.cumsum(energy)
+    if cum[-1] == 0:  # no voiced audio at all
+        return [Interval(0.0, duration, "")]
+
+    # word w owns the cumulative-energy share [w/N, (w+1)/N); inside its
+    # span it is emitted only over voiced runs, so silence frames stay PAD
+    bounds = np.searchsorted(cum, cum[-1] * np.arange(1, len(words)) / len(words))
+    starts = np.concatenate([[0], bounds])
+    ends = np.concatenate([bounds, [len(env)]])
+
+    # voiced runs as (sample_start, sample_end)
+    runs = []
+    v = np.concatenate([[False], voiced, [False]])
+    d = np.diff(v.astype(np.int8))
+    for r0, r1 in zip(np.flatnonzero(d == 1), np.flatnonzero(d == -1)):
+        runs.append((r0, r1))
+
+    out = []
+    for w, (s0, e0) in zip(words, zip(starts, ends)):
+        for r0, r1 in runs:
+            lo, hi = max(s0, r0), min(e0, r1)
+            if hi > lo:
+                out.append(Interval(lo * hop_t, hi * hop_t, w))
+    # catch-all silence LAST: frames no word interval covers resolve to PAD
+    # (words_to_frame_ids takes the first matching interval)
+    out.append(Interval(0.0, duration, ""))
+    return out

@@ -131,3 +131,42 @@ class TestFrechet:
         x = rng.normal(size=(2000, 4))
         y = rng.normal(size=(2000, 4)) * 3.0
         assert frechet_distance(x, y) > 10
+
+
+class TestEnergyWordAlignment:
+    """Energy-based ASR-word spreading (replaces uniform spreading; the
+    reference demo runs MFA forced alignment, demo.py:76-78)."""
+
+    def _two_bursts(self, sr=16000):
+        t = np.arange(sr) / sr
+        y = np.zeros(sr * 3, np.float32)
+        burst = (0.5 * np.sin(2 * np.pi * 200 * t)).astype(np.float32)
+        y[:sr] = burst       # 0-1 s voiced
+        y[2 * sr:] = burst   # 2-3 s voiced; 1-2 s silence
+        return y, sr
+
+    def test_words_land_on_voiced_segments(self):
+        from syntalker_tpu.data.audio import align_words_by_energy
+
+        y, sr = self._two_bursts()
+        iv = align_words_by_energy(["hello", "world"], y, sr)
+        # per-frame resolution via the standard consumer
+        from syntalker_tpu.data.vocab import Vocab, words_to_frame_ids
+
+        v = Vocab("t")
+        v.index_word("hello"); v.index_word("world")
+        ids = words_to_frame_ids(iv, n_frames=90, vocab=v, fps=30)
+        hello, world = v.get_word_index("hello"), v.get_word_index("world")
+        # burst 1 frames -> hello, deep-silence frames -> PAD, burst 2 -> world
+        assert (ids[5:28] == hello).all()
+        assert (ids[35:55] == v.PAD_token).all()
+        assert (ids[65:88] == world).all()
+
+    def test_empty_and_silent_inputs(self):
+        from syntalker_tpu.data.audio import align_words_by_energy
+
+        y = np.zeros(16000, np.float32)
+        iv = align_words_by_energy(["a"], y, 16000)
+        assert len(iv) == 1 and iv[0].mark == ""  # all silence -> PAD
+        iv = align_words_by_energy([], y, 16000)
+        assert len(iv) == 1 and iv[0].mark == ""
