@@ -21,6 +21,26 @@ import numpy as np
 from syntalker_tpu.data.textgrid import words_tier
 
 
+class _VocabShim:
+    """Attribute bag standing in for the reference's ``Vocab`` class when a
+    ``vocab.pkl`` is unpickled without /root/reference on sys.path."""
+
+    def __init__(self, *a, **k):
+        pass
+
+
+class _RefVocabUnpickler(pickle.Unpickler):
+    """Unpickles the reference's ``dataloaders.build_vocab.Vocab`` pickle
+    (build_vocab.py:12-107) without importing the reference package: any
+    class named ``Vocab`` resolves to :class:`_VocabShim`; everything else
+    follows normal resolution (numpy arrays etc.)."""
+
+    def find_class(self, module, name):
+        if name == "Vocab":
+            return _VocabShim
+        return super().find_class(module, name)
+
+
 class Vocab:
     PAD_token = 0
     SOS_token = 1
@@ -90,7 +110,7 @@ class Vocab:
         v = cls()
         if p.suffix == ".pkl":  # reference vocab.pkl compatibility
             with open(p, "rb") as f:
-                ref = pickle.load(f)
+                ref = _RefVocabUnpickler(f).load()
             v.name = getattr(ref, "name", "words")
             v.word2index = dict(ref.word2index)
             v.word2count = dict(ref.word2count)

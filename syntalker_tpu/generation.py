@@ -257,7 +257,17 @@ def decode_latents(
         parts[name] = module.apply(
             {"params": params}, z[..., lo:hi], state, method="latent2origin"
         )
+    return decode_parts(parts, stats=stats, use_trans=use_trans)
 
+
+def decode_parts(parts: Dict[str, jax.Array], *, stats, use_trans: bool = True):
+    """Normalized per-part features -> full-body rot6d/axis-angle/trans.
+
+    The post-RVQ half of :func:`decode_latents` (trainer :484-531), shared so
+    externally decoded part features (e.g. a torch reference stack under a
+    parity experiment) go through the identical denormalize/scatter/rotation
+    math as our sampler outputs.
+    """
     rec_upper = stats.denormalize_part(parts["upper"], "upper")
     rec_hands = stats.denormalize_part(parts["hands"], "hands")
     lower = parts["lower"]
@@ -271,7 +281,7 @@ def decode_latents(
     rec_lower = stats.denormalize_part(lower, "lower")
 
     b, t = rec_upper.shape[:2]
-    rot6d_full = jnp.zeros((b, t, J.ROT6D_DIM), latents.dtype)
+    rot6d_full = jnp.zeros((b, t, J.ROT6D_DIM), rec_upper.dtype)
     rot6d_full = rot6d_full.at[..., J.UPPER_6D_IDX].set(rec_upper)
     rot6d_full = rot6d_full.at[..., J.HANDS_6D_IDX].set(rec_hands)
     rot6d_full = rot6d_full.at[..., J.LOWER_6D_IDX].set(rec_lower)

@@ -466,3 +466,26 @@ def create_mdm(cfg: MDMConfig, rng: jax.Array, *, frames: int = 128):
         prompt=jnp.zeros((b, cfg.prompt_dim)) if cfg.use_prompt else None,
     )["params"]
     return module, params
+
+
+def apply_word_embedding(params: dict, matrix) -> dict:
+    """Overwrite the ``word_embedding`` table with a pretrained matrix.
+
+    One-step ingestion of the reference's fasttext vocab matrix
+    (``vocab.pkl``'s ``word_embedding_weights``, build_vocab.py:135-198 —
+    the reference loads it inside MDM.__init__, denoiser.py:64-66) into an
+    initialized param tree; the table stays trainable afterwards
+    (``freeze_wordembed: False`` in the shipped config). Raises on shape
+    mismatch so a stale vocab fails loudly.
+    """
+    m = jnp.asarray(matrix, jnp.float32)
+    cur = params["word_embedding"]
+    if m.shape != cur.shape:
+        raise ValueError(
+            f"vocab embedding {m.shape} != model word_embedding {cur.shape}; "
+            f"init the MDM with vocab_size={m.shape[0]}, "
+            f"word_embed_dim={m.shape[1]}"
+        )
+    out = dict(params)
+    out["word_embedding"] = m
+    return out

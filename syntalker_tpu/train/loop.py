@@ -107,6 +107,18 @@ class DiffusionTrainer:
         )
 
         self.mdm, mdm_params = create_mdm(cfg.mdm, rng, frames=cfg.data.pose_length)
+        if cfg.data.vocab_path and Path(cfg.data.vocab_path).exists():
+            # reference vocab.pkl / our json vocab: seed the word table with
+            # the pretrained fasttext matrix when one is stored
+            # (denoiser.py:64-66, build_vocab.py:135-198)
+            from syntalker_tpu.data.vocab import Vocab
+            from syntalker_tpu.models.denoiser import apply_word_embedding
+
+            vocab = Vocab.load(cfg.data.vocab_path)
+            if vocab.word_embedding_weights is not None:
+                mdm_params = apply_word_embedding(
+                    mdm_params, vocab.word_embedding_weights
+                )
         self.rvq = load_rvq_stack(cfg, jax.random.fold_in(rng, 99))
         self.diffusion = make_diffusion(
             schedule=cfg.diffusion.schedule,

@@ -95,6 +95,93 @@ class TestTextGrid:
         assert v2.get_word_index("hello") == v.get_word_index("hello")
         assert v2.word_embedding_weights.shape == (6, 8)
 
+    def _reference_format_pkl(self, tmp_path, n_extra=12, dim=300):
+        """Pickle in the reference's exact on-disk format: an instance whose
+        class path is ``dataloaders.build_vocab.Vocab`` (build_vocab.py:12)
+        — WITHOUT /root/reference importable at load time."""
+        import pickle
+        import sys
+        import types
+
+        pkg = types.ModuleType("dataloaders")
+        mod = types.ModuleType("dataloaders.build_vocab")
+        pkg.build_vocab = mod
+
+        class RefVocab:
+            pass
+
+        RefVocab.__module__ = "dataloaders.build_vocab"
+        RefVocab.__qualname__ = "Vocab"
+        mod.Vocab = RefVocab
+        sys.modules["dataloaders"] = pkg
+        sys.modules["dataloaders.build_vocab"] = mod
+        try:
+            v = RefVocab()
+            v.name = "beat_english_15_141"
+            v.word2index = {f"w{i}": 4 + i for i in range(n_extra)}
+            v.word2count = {f"w{i}": 1 for i in range(n_extra)}
+            v.index2word = {4 + i: f"w{i}" for i in range(n_extra)}
+            v.n_words = 4 + n_extra
+            v.word_embedding_weights = (
+                np.random.default_rng(3).normal(0, 0.1, (v.n_words, dim))
+                .astype(np.float32)
+            )
+            p = tmp_path / "vocab.pkl"
+            with open(p, "wb") as f:
+                pickle.dump(v, f)
+        finally:
+            del sys.modules["dataloaders.build_vocab"]
+            del sys.modules["dataloaders"]
+        return p, v
+
+    def test_reference_pkl_loads_without_reference_on_path(self, tmp_path):
+        p, ref = self._reference_format_pkl(tmp_path)
+        v = Vocab.load(p)
+        assert v.n_words == ref.n_words
+        assert v.get_word_index("w3") == ref.word2index["w3"]
+        np.testing.assert_array_equal(
+            v.word_embedding_weights, ref.word_embedding_weights
+        )
+
+    def test_vocab_matrix_into_denoiser_init(self, tmp_path):
+        """End-to-end: vocab.pkl -> apply_word_embedding -> MDM forward uses
+        the pretrained rows (VERDICT round-1 Missing #6)."""
+        import jax
+        import jax.numpy as jnp
+
+        from syntalker_tpu.models.denoiser import (
+            MDMConfig,
+            apply_word_embedding,
+            create_mdm,
+        )
+
+        p, _ = self._reference_format_pkl(tmp_path, n_extra=12, dim=8)
+        v = Vocab.load(p)
+        cfg = MDMConfig(
+            latent_total_dim=48, latent_dim=32, ff_size=64, num_layers=1,
+            num_heads=2, rope_heads=4, audio_feat_dim=16, word_feat_dim=16,
+            word_embed_dim=8, vocab_size=v.n_words, dropout=0.0,
+        )
+        module, params = create_mdm(cfg, jax.random.PRNGKey(0), frames=32)
+        params = apply_word_embedding(params, v.word_embedding_weights)
+        np.testing.assert_array_equal(
+            np.asarray(params["word_embedding"]), v.word_embedding_weights
+        )
+        out = module.apply(
+            {"params": params},
+            jnp.zeros((1, 8, 48)),
+            jnp.zeros((1,), jnp.int32),
+            jnp.zeros((1, 533 * 32, 2)),
+            jnp.full((1, 32), v.get_word_index("w0"), jnp.int32),
+            jnp.zeros((1, 4, 48)),
+        )
+        assert np.isfinite(np.asarray(out)).all()
+
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="vocab embedding"):
+            apply_word_embedding(params, np.zeros((3, 8), np.float32))
+
 
 class TestClipPreprocess:
     def test_trans_velocity_semantics(self):
