@@ -287,6 +287,13 @@ class GestureEvaluator:
                     pre_frames=self.pre_frames,
                 ).num_windows
                 buckets.setdefault(w, []).append(i)
+            # each distinct (num_windows, bucket batch) shape is one XLA
+            # compile of the sampler scan; everything after reuses the cache
+            log.info(
+                f"eval: {len(buckets)} plan bucket(s) -> at most "
+                f"{sum((len(v) + batch_clips - 1) // batch_clips for v in buckets.values())} "
+                f"batches, {len(buckets)} sampler compiles"
+            )
             for w, idxs in sorted(buckets.items()):
                 for lo in range(0, len(idxs), batch_clips):
                     group = idxs[lo : lo + batch_clips]

@@ -90,7 +90,11 @@ class MotionGenerationService:
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
         self._rng = jax.random.PRNGKey(0)
-        self._jitted = jax.jit(self._generate_batch)
+        # donate the window inputs: the audio-feature stack is the largest
+        # HBM buffer in the serving path (W x B x S x 2 f32 ≈ 0.5 GB at
+        # batch 64) and is consumed once by encode_cond — donation lets XLA
+        # reuse it for sampler intermediates instead of holding both live
+        self._jitted = jax.jit(self._generate_batch, donate_argnums=(0, 2))
 
     # ------------------------------------------------------------------
 
