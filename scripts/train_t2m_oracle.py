@@ -1,0 +1,320 @@
+"""Train + evaluate the self-hosted text-control oracles (VERDICT r1 #8).
+
+Produces committed artifacts so harness_h3d / eval.t2m emit numbers from a
+documented oracle instead of random-init networks:
+
+  weights/t2m_oracle/bigru.npz(.json)  — BiGRU co-embedding evaluator pair
+  weights/t2m_oracle/tmr.npz(.json)    — TMR text/motion encoders
+  docs/t2m_oracle_report.md            — training data, protocol, held-out
+                                         R-precision vs chance
+
+Data: the five shipped demo clips (BEAT2 speaker 2), h3d-623 featurized
+through the JAX SMPL-X FK (synthetic skeleton — documented), windowed to
+96 frames, captioned deterministically (data/captions.py). Clip 5 is held
+out entirely; R-precision is computed on its windows against a pool of
+candidates, so a score above chance requires genuine text→motion transfer
+to unseen motion.
+
+Reference protocol being anchored: h3d_diffusion_new_trainer.py:833-849
+(oracle loading), :907-1060 (R-precision/matching over 32-candidate pools).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+
+import jax
+import jax.numpy as jnp
+import optax
+
+REF = "/root/reference"
+CLIPS = [f"2_scott_0_{i}_{i}" for i in (1, 2, 3, 4, 5)]
+WINDOW = 96
+STRIDE = 16
+ORACLE_HIDDEN = 512  # reduced from the original 1024: 5-clip corpus, and
+# the artifact must stay small enough to commit (fp16 npz)
+ITERS = 1200
+BATCH = 32
+LR = 1e-4
+
+
+def build_dataset():
+    from syntalker_tpu.data.cache import preprocess_clip
+    from syntalker_tpu.data.captions import caption_batch
+    from syntalker_tpu.data.h3d import recover_from_ric
+    from syntalker_tpu.ops.smplx import synthetic_smplx_model
+
+    smplx_model = synthetic_smplx_model()
+    sets = {}
+    for name in CLIPS:
+        arrays = preprocess_clip(
+            f"{REF}/demo/examples/{name}.npz",
+            f"{REF}/demo/examples/{name}.wav",
+            None, None, smplx_model=smplx_model,
+        )
+        h3d = arrays["h3d"]
+        wins = np.stack(
+            [h3d[i : i + WINDOW] for i in range(0, h3d.shape[0] - WINDOW + 1, STRIDE)]
+        )
+        sets[name] = wins
+        print(f"{name}: {wins.shape[0]} windows")
+    train = np.concatenate([sets[c] for c in CLIPS[:-1]])
+    test = sets[CLIPS[-1]]
+
+    def captioned(wins):
+        joints = np.asarray(recover_from_ric(jnp.asarray(wins)))
+        word_embs, pos_ohot, lens, caps = caption_batch(joints)
+        return {
+            "motion": wins.astype(np.float32),
+            "word_embs": word_embs, "pos_ohot": pos_ohot,
+            "cap_lens": lens, "captions": [c.text for c in caps],
+        }
+
+    return captioned(train), captioned(test)
+
+
+def train_bigru(train, rng):
+    from syntalker_tpu.eval.t2m import (
+        MotionEncoderBiGRUCo,
+        T2MEvalConfig,
+        TextEncoderBiGRUCo,
+        make_t2m_oracle_train_step,
+    )
+
+    cfg = T2MEvalConfig(hidden=ORACLE_HIDDEN, dim_movement=256, dim_coemb=256)
+    motion_enc = MotionEncoderBiGRUCo(cfg)
+    text_enc = TextEncoderBiGRUCo(cfg)
+    params = {
+        "motion": motion_enc.init(
+            rng, jnp.zeros((1, WINDOW, cfg.dim_pose)), jnp.asarray([WINDOW])
+        )["params"],
+        "text": text_enc.init(
+            jax.random.fold_in(rng, 1), jnp.zeros((1, 20, cfg.dim_word)),
+            jnp.zeros((1, 20, cfg.dim_pos_ohot)), jnp.asarray([10]),
+        )["params"],
+    }
+    opt = optax.adam(LR)
+    opt_state = opt.init(params)
+    step = jax.jit(make_t2m_oracle_train_step(motion_enc, text_enc, opt))
+    rng_np = np.random.default_rng(0)
+    n = train["motion"].shape[0]
+    losses = []
+    for it in range(ITERS):
+        idx = rng_np.integers(0, n, BATCH)
+        batch = {
+            "motion": jnp.asarray(train["motion"][idx]),
+            "m_lens": jnp.full((BATCH,), WINDOW, jnp.int32),
+            "word_embs": jnp.asarray(train["word_embs"][idx]),
+            "pos_ohot": jnp.asarray(train["pos_ohot"][idx]),
+            "cap_lens": jnp.asarray(train["cap_lens"][idx]),
+        }
+        params, opt_state, m = step(params, opt_state, batch)
+        losses.append(float(m["nce"]))
+        if (it + 1) % 200 == 0:
+            print(f"[bigru] {it+1}: nce {np.mean(losses[-200:]):.4f}")
+    return cfg, params, {"first_nce": float(np.mean(losses[:20])),
+                         "last_nce": float(np.mean(losses[-20:]))}
+
+
+def eval_bigru(cfg, params, test, pool: int = 16, replications: int = 20):
+    from syntalker_tpu.eval.t2m import (
+        MotionEncoderBiGRUCo,
+        TextEncoderBiGRUCo,
+        euclidean_distance_matrix,
+        matching_and_r_precision,
+    )
+
+    motion_enc = MotionEncoderBiGRUCo(cfg)
+    text_enc = TextEncoderBiGRUCo(cfg)
+    n = test["motion"].shape[0]
+    t_emb = np.asarray(text_enc.apply(
+        {"params": params["text"]}, jnp.asarray(test["word_embs"]),
+        jnp.asarray(test["pos_ohot"]), jnp.asarray(test["cap_lens"]),
+    ))
+    m_emb = np.asarray(motion_enc.apply(
+        {"params": params["motion"]}, jnp.asarray(test["motion"]),
+        jnp.full((n,), WINDOW, jnp.int32),
+    ))
+    rng = np.random.default_rng(1)
+    match, r1, r2, r3 = [], [], [], []
+    for _ in range(replications):
+        idx = rng.permutation(n)[:pool]
+        mt, r = matching_and_r_precision(t_emb[idx], m_emb[idx], top_k=3)
+        match.append(mt)
+        r1.append(r[0]); r2.append(r[1]); r3.append(r[2])
+    return {
+        "pool": pool,
+        "matching": float(np.mean(match)),
+        "r_precision_top1": float(np.mean(r1)),
+        "r_precision_top2": float(np.mean(r2)),
+        "r_precision_top3": float(np.mean(r3)),
+        "chance_top1": 1.0 / pool, "chance_top2": 2.0 / pool,
+        "chance_top3": 3.0 / pool,
+        "held_out_windows": int(n),
+    }
+
+
+def train_tmr(train, rng):
+    from syntalker_tpu.models.tmr import (
+        ActorAgnosticEncoder,
+        DistilbertTextEncoder,
+        TMRConfig,
+        TextPipeline,
+        make_tmr_train_step,
+    )
+
+    tcfg = TMRConfig()
+    pipeline = TextPipeline(tcfg)
+    text = DistilbertTextEncoder(tcfg)
+    motion = ActorAgnosticEncoder(tcfg, input_dim=623)
+    params = {
+        "text": text.init(rng, jnp.zeros((1, 12, tcfg.text_feats)), jnp.ones((1, 12)))["params"],
+        "motion": motion.init(rng, jnp.zeros((1, WINDOW, 623)))["params"],
+    }
+    opt = optax.adam(LR)
+    opt_state = opt.init(params)
+    step = jax.jit(make_tmr_train_step(text, motion, opt))
+
+    # pre-embed the caption hidden states once (hash pipeline is static)
+    seqs = [pipeline._hash_hidden(c) for c in train["captions"]]
+    tmax = max(s.shape[0] for s in seqs)
+    hidden = np.zeros((len(seqs), tmax, tcfg.text_feats), np.float32)
+    mask = np.zeros((len(seqs), tmax), np.float32)
+    for i, s in enumerate(seqs):
+        hidden[i, : s.shape[0]] = s
+        mask[i, : s.shape[0]] = 1
+
+    rng_np = np.random.default_rng(2)
+    n = train["motion"].shape[0]
+    losses = []
+    for it in range(ITERS):
+        idx = rng_np.integers(0, n, BATCH)
+        batch = {
+            "text_hidden": jnp.asarray(hidden[idx]),
+            "text_mask": jnp.asarray(mask[idx]),
+            "motion": jnp.asarray(train["motion"][idx]),
+        }
+        params, opt_state, m = step(params, opt_state, batch, rng)
+        losses.append(float(m["nce"]))
+        if (it + 1) % 200 == 0:
+            print(f"[tmr] {it+1}: nce {np.mean(losses[-200:]):.4f}")
+    return tcfg, params, pipeline, {"first_nce": float(np.mean(losses[:20])),
+                                    "last_nce": float(np.mean(losses[-20:]))}
+
+
+def eval_tmr(tcfg, params, pipeline, test, pool: int = 16, replications: int = 20):
+    from syntalker_tpu.eval.t2m import matching_and_r_precision
+    from syntalker_tpu.models.tmr import ActorAgnosticEncoder, DistilbertTextEncoder
+
+    text = DistilbertTextEncoder(tcfg)
+    motion = ActorAgnosticEncoder(tcfg, input_dim=623)
+    seqs = [pipeline._hash_hidden(c) for c in test["captions"]]
+    tmax = max(s.shape[0] for s in seqs)
+    hidden = np.zeros((len(seqs), tmax, tcfg.text_feats), np.float32)
+    mask = np.zeros((len(seqs), tmax), np.float32)
+    for i, s in enumerate(seqs):
+        hidden[i, : s.shape[0]] = s
+        mask[i, : s.shape[0]] = 1
+    t_emb = np.asarray(text.apply(
+        {"params": params["text"]}, jnp.asarray(hidden), jnp.asarray(mask)
+    )[0])
+    m_emb = np.asarray(motion.apply(
+        {"params": params["motion"]}, jnp.asarray(test["motion"])
+    )[0])
+    rng = np.random.default_rng(3)
+    n = t_emb.shape[0]
+    r1 = []
+    for _ in range(replications):
+        idx = rng.permutation(n)[:pool]
+        _, r = matching_and_r_precision(t_emb[idx], m_emb[idx], top_k=3)
+        r1.append(r[0])
+    return {"pool": pool, "r_precision_top1": float(np.mean(r1)),
+            "chance_top1": 1.0 / pool}
+
+
+def main():
+    from syntalker_tpu.eval.t2m import save_oracle_params
+
+    t0 = time.time()
+    train, test = build_dataset()
+    caps = sorted(set(train["captions"]))
+    print(f"{len(caps)} distinct captions, e.g.: {caps[:4]}")
+
+    rng = jax.random.PRNGKey(0)
+    cfg, bigru_params, bigru_train = train_bigru(train, rng)
+    bigru_eval = eval_bigru(cfg, bigru_params, test)
+    print("bigru held-out:", json.dumps(bigru_eval, indent=1))
+
+    tcfg, tmr_params, pipeline, tmr_train = train_tmr(train, jax.random.fold_in(rng, 7))
+    tmr_eval = eval_tmr(tcfg, tmr_params, pipeline, test)
+    print("tmr held-out:", json.dumps(tmr_eval, indent=1))
+
+    wdir = Path("weights/t2m_oracle")
+    save_oracle_params(
+        wdir / "bigru.npz", bigru_params,
+        meta={"config": {"hidden": cfg.hidden, "dim_movement": cfg.dim_movement,
+                         "dim_coemb": cfg.dim_coemb, "dim_pose": cfg.dim_pose},
+              "train": bigru_train, "eval": bigru_eval,
+              "protocol": "demo clips 1-4 train / clip 5 held out; "
+                          "deterministic captions (data/captions.py)"},
+    )
+    save_oracle_params(
+        wdir / "tmr.npz", tmr_params,
+        meta={"config": {"latent_dim": tcfg.latent_dim},
+              "train": tmr_train, "eval": tmr_eval},
+    )
+
+    report = Path("docs/t2m_oracle_report.md")
+    chance = bigru_eval["chance_top1"]
+    report.write_text(f"""# Self-hosted text-control oracle (round 2)
+
+Replaces the round-1 random-init evaluators (VERDICT Weak #7): both the
+BiGRU co-embedding oracle and the TMR encoders are now **trained artifacts**
+with a documented protocol, committed under `weights/t2m_oracle/`.
+
+## Data & protocol
+
+- 5 shipped demo clips (BEAT2 speaker 2) -> h3d-623 features via JAX SMPL-X
+  FK (synthetic skeleton), {WINDOW}-frame windows, stride {STRIDE}.
+- Captions are **deterministic rules over the motion itself**
+  (`data/captions.py`): stance / tempo / dominant-arm / hand-height grammar
+  with known POS tags — {len(caps)} distinct captions in the train corpus.
+- Clips 1–4 train ({train['motion'].shape[0]} windows), clip 5 held out
+  ({test['motion'].shape[0]} windows). R-precision over pools of
+  {bigru_eval['pool']} candidates, 20 replications
+  (h3d_diffusion_new_trainer.py:907-1060 protocol).
+
+## Results (held-out clip)
+
+| Oracle | R@1 | chance | R@2 | R@3 | matching |
+|---|---|---|---|---|---|
+| BiGRU co-embed | {bigru_eval['r_precision_top1']:.3f} | {chance:.3f} | {bigru_eval['r_precision_top2']:.3f} | {bigru_eval['r_precision_top3']:.3f} | {bigru_eval['matching']:.3f} |
+| TMR | {tmr_eval['r_precision_top1']:.3f} | {tmr_eval['chance_top1']:.3f} | — | — | — |
+
+Training NCE: BiGRU {bigru_train['first_nce']:.3f} → {bigru_train['last_nce']:.3f};
+TMR {tmr_train['first_nce']:.3f} → {tmr_train['last_nce']:.3f}.
+
+## Honest scope
+
+These oracles anchor the *pipeline* (a trained text-motion co-embedding with
+above-chance held-out retrieval), not HumanML3D semantics: the caption
+vocabulary is small and rule-derived, and the skeleton is the synthetic
+stand-in. Numbers computed with them are comparable across OUR runs
+(regression tracking), not against the paper's Table 3. Swapping in real
+HumanML3D captions + the released oracle weights requires only
+`load_oracle_params` once those files exist locally.
+
+Wall time: {(time.time()-t0)/60:.1f} min. Generated by scripts/train_t2m_oracle.py.
+""")
+    print(f"report: {report}; wall {(time.time()-t0)/60:.1f} min")
+
+
+if __name__ == "__main__":
+    main()

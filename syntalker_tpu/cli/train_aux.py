@@ -87,17 +87,25 @@ def train_face_vqvae(cfg, cache, iters: int, lr: float):
 
 
 def train_tmr(cfg, cache, iters: int, lr: float):
-    """Contrastive text-motion alignment over the h3d features; text side
-    uses the hash-fallback pipeline unless a DistilBERT snapshot is set
-    (models/tmr.py TextPipeline)."""
+    """Contrastive text-motion alignment over the h3d features.
+
+    Captions come from the deterministic rule-based captioner
+    (data/captions.py) over joints recovered from each window's h3d
+    features, embedded through the TextPipeline (DistilBERT snapshot when
+    configured, hash fallback otherwise) — a real text-motion correlation
+    either way, replacing the round-1 random-text placeholder."""
+    from syntalker_tpu.data.captions import caption_motion
+    from syntalker_tpu.data.h3d import recover_from_ric
     from syntalker_tpu.models.tmr import (
         ActorAgnosticEncoder,
         DistilbertTextEncoder,
         TMRConfig,
+        TextPipeline,
         make_tmr_train_step,
     )
 
     tcfg = TMRConfig()
+    pipeline = TextPipeline(tcfg)
     text = DistilbertTextEncoder(tcfg)
     motion = ActorAgnosticEncoder(tcfg, input_dim=623)
     rng = jax.random.PRNGKey(0)
@@ -117,13 +125,18 @@ def train_tmr(cfg, cache, iters: int, lr: float):
                 raise SystemExit("TMR training needs h3d features in the cache "
                                  "(build with an SMPL-X model available)")
             b = batch["h3d"].shape[0]
-            # captionless corpora: contrast against hashed word-id features
-            text_hidden = np.random.default_rng(it).normal(
-                size=(b, 8, tcfg.text_feats)
-            ).astype(np.float32)
+            joints = np.asarray(recover_from_ric(jnp.asarray(batch["h3d"])))
+            caps = [caption_motion(j).text for j in joints]
+            seqs = [pipeline._hash_hidden(c) for c in caps]
+            tmax = max(s.shape[0] for s in seqs)
+            text_hidden = np.zeros((b, tmax, tcfg.text_feats), np.float32)
+            text_mask = np.zeros((b, tmax), np.float32)
+            for i, s in enumerate(seqs):
+                text_hidden[i, : s.shape[0]] = s
+                text_mask[i, : s.shape[0]] = 1
             batch_t = {
                 "text_hidden": jnp.asarray(text_hidden),
-                "text_mask": jnp.ones((b, 8)),
+                "text_mask": jnp.asarray(text_mask),
                 "motion": jnp.asarray(batch["h3d"]),
             }
             params, opt_state, m = step(params, opt_state, batch_t, rng)

@@ -83,3 +83,122 @@ class TestEvaluatorNets:
         # deterministic
         e_full2 = ev.get_motion_embeddings(m, np.array([16]))
         np.testing.assert_allclose(e_full, e_full2, atol=1e-6)
+
+
+class TestCaptioner:
+    """Deterministic rule-based captions (data/captions.py) — the training
+    signal for the self-hosted text-control oracle (VERDICT r1 #8)."""
+
+    def _joints(self, kind: str, t=60):
+        from syntalker_tpu.data.captions import L_WRIST, R_WRIST, ROOT
+
+        rng = np.random.default_rng(0)
+        j = np.tile(rng.normal(0, 0.05, (1, 22, 3)), (t, 1, 1)).astype(np.float32)
+        # plausible static skeleton: shoulders ~0.4 apart at y=1.4
+        j[:, 16] = [-0.2, 1.4, 0.0]
+        j[:, 17] = [0.2, 1.4, 0.0]
+        j[:, 20] = [-0.25, 0.8, 0.0]
+        j[:, 21] = [0.25, 0.8, 0.0]
+        tt = np.arange(t, dtype=np.float32)
+        if kind == "left_wave":
+            j[:, L_WRIST, 0] += 0.3 * np.sin(tt / 2)
+            j[:, L_WRIST, 1] = 1.6  # above the shoulder line
+        elif kind == "both_fast":
+            j[:, L_WRIST, 2] += 0.4 * np.sin(tt)
+            j[:, R_WRIST, 2] += 0.4 * np.cos(tt)
+        elif kind == "walk":
+            j[:, ROOT, 0] += 0.02 * tt
+            j[:, :, 0] += 0.02 * tt[:, None]
+        return j
+
+    def test_deterministic_and_distinct(self):
+        from syntalker_tpu.data.captions import caption_motion
+
+        a = caption_motion(self._joints("left_wave"))
+        b = caption_motion(self._joints("both_fast"))
+        c = caption_motion(self._joints("left_wave"))
+        assert a.text == c.text
+        assert a.text != b.text
+        assert "left" in a.text
+        assert "both" in b.text
+        assert len(a.tokens) == len(a.pos)
+
+    def test_walk_vs_stand(self):
+        from syntalker_tpu.data.captions import caption_motion
+
+        assert "walks" in caption_motion(self._joints("walk")).text
+        assert "stands" in caption_motion(self._joints("left_wave")).text
+
+    def test_t2m_inputs_shapes(self):
+        from syntalker_tpu.data.captions import (
+            caption_motion,
+            caption_to_t2m_inputs,
+        )
+
+        cap = caption_motion(self._joints("both_fast"))
+        w, p, n = caption_to_t2m_inputs(cap)
+        assert w.shape == (20, 300) and p.shape == (20, 15)
+        assert n == len(cap.tokens)
+        assert (p[:n].sum(axis=1) == 1).all()
+        # hash vectors are word-stable
+        w2, _, _ = caption_to_t2m_inputs(cap)
+        np.testing.assert_array_equal(w, w2)
+
+
+class TestOracleTraining:
+    def test_contrastive_step_learns_and_roundtrips(self, tmp_path):
+        """Co-embedding InfoNCE must fall on a learnable toy corpus, and the
+        fp16 npz artifact must round-trip through load_oracle_params."""
+        import optax
+
+        from syntalker_tpu.eval.t2m import (
+            MotionEncoderBiGRUCo,
+            T2MEvalConfig,
+            TextEncoderBiGRUCo,
+            load_oracle_params,
+            make_t2m_oracle_train_step,
+            save_oracle_params,
+        )
+
+        cfg = T2MEvalConfig(dim_pose=16, dim_movement=16, dim_coemb=16, hidden=32)
+        me, te = MotionEncoderBiGRUCo(cfg), TextEncoderBiGRUCo(cfg)
+        rng = jax.random.PRNGKey(0)
+        params = {
+            "motion": me.init(rng, jnp.zeros((1, 16, 16)), jnp.asarray([16]))["params"],
+            "text": te.init(rng, jnp.zeros((1, 6, 300)), jnp.zeros((1, 6, 15)),
+                            jnp.asarray([6]))["params"],
+        }
+        opt = optax.adam(3e-4)
+        opt_state = opt.init(params)
+        step = jax.jit(make_t2m_oracle_train_step(me, te, opt))
+
+        # toy corpus: 2 classes with distinct motions and distinct captions
+        rngn = np.random.default_rng(1)
+        def batch(b=16):
+            cls = rngn.integers(0, 2, b)
+            motion = np.where(
+                cls[:, None, None], 1.0, -1.0
+            ) + 0.1 * rngn.normal(size=(b, 16, 16))
+            w = np.zeros((b, 6, 300), np.float32)
+            w[np.arange(b), :, cls] = 1.0
+            return {
+                "motion": jnp.asarray(motion, jnp.float32),
+                "m_lens": jnp.full((b,), 16, jnp.int32),
+                "word_embs": jnp.asarray(w),
+                "pos_ohot": jnp.zeros((b, 6, 15)),
+                "cap_lens": jnp.full((b,), 6, jnp.int32),
+            }
+
+        first = None
+        for _ in range(60):
+            params, opt_state, m = step(params, opt_state, batch())
+            if first is None:
+                first = float(m["nce"])
+        last = float(m["nce"])
+        assert last < first, (first, last)
+
+        p = save_oracle_params(tmp_path / "oracle.npz", params, meta={"k": 1})
+        restored = load_oracle_params(p, params)
+        a = jax.tree_util.tree_leaves(params)[0]
+        b_ = jax.tree_util.tree_leaves(restored)[0]
+        assert np.abs(np.asarray(a) - np.asarray(b_)).max() < 2e-3  # fp16
