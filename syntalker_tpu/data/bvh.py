@@ -169,6 +169,53 @@ def write_bvh(
     return Path(path)
 
 
+def bvh_to_positions(data: BVHData) -> np.ndarray:
+    """BVH channels -> world joint positions, (T, J, 3).
+
+    The ``MocapParameterizer('position')`` surface of the vendored pymo
+    (dataloaders/pymo/preprocessing.py; used by FIDCalculator.load,
+    data_tools.py:1579-1586): forward kinematics through the hierarchy with
+    each joint's own channel rotation order applied intrinsically, position
+    channels honored wherever they appear (root, usually).
+    """
+    from scipy.spatial.transform import Rotation
+
+    t = data.frames.shape[0]
+    j = len(data.joints)
+    pos = np.zeros((t, j, 3))
+    rot = np.tile(np.eye(3), (t, j, 1, 1))
+
+    # channel slices per joint in frame order
+    starts = np.cumsum([0] + [len(jt.channels) for jt in data.joints])
+    for idx, joint in enumerate(data.joints):
+        ch = data.frames[:, starts[idx] : starts[idx + 1]]
+        order = ""
+        angles = []
+        offset_pos = np.zeros((t, 3))
+        for k, name in enumerate(joint.channels):
+            axis = name[0].upper()
+            if name.lower().endswith("rotation"):
+                order += axis
+                angles.append(ch[:, k])
+            else:  # Xposition etc.
+                offset_pos[:, "XYZ".index(axis)] = ch[:, k]
+        local = (
+            Rotation.from_euler(order, np.stack(angles, -1), degrees=True).as_matrix()
+            if order
+            else np.tile(np.eye(3), (t, 1, 1))
+        )
+        if joint.parent < 0:
+            rot[:, idx] = local
+            pos[:, idx] = joint.offset[None] + offset_pos
+        else:
+            p = joint.parent
+            rot[:, idx] = rot[:, p] @ local
+            pos[:, idx] = pos[:, p] + np.einsum(
+                "tab,b->ta", rot[:, p], joint.offset
+            ) + np.einsum("tab,tb->ta", rot[:, p], offset_pos)
+    return pos
+
+
 def matrix_to_euler_zxy_deg(m: np.ndarray) -> np.ndarray:
     """(..., 3, 3) rotation matrices -> ZXY intrinsic euler degrees,
     matching the channel order written by :func:`write_bvh`."""

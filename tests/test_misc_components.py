@@ -64,6 +64,85 @@ class TestBVH:
         data = bvh.parse_bvh(p)
         assert data.frames.shape[0] == 4
 
+    def test_positions_simple_chain(self, tmp_path):
+        """FK against hand-computed positions on a 3-joint chain: root with
+        translation, child rotated 90° about Z, grandchild offset along X.
+        Covers the MocapParameterizer('position') surface
+        (data_tools.py:1579-1586)."""
+        text = """HIERARCHY
+ROOT a
+{
+  OFFSET 0 0 0
+  CHANNELS 6 Xposition Yposition Zposition Zrotation Xrotation Yrotation
+  JOINT b
+  {
+    OFFSET 1 0 0
+    CHANNELS 3 Zrotation Xrotation Yrotation
+    JOINT c
+    {
+      OFFSET 1 0 0
+      CHANNELS 3 Zrotation Xrotation Yrotation
+      End Site
+      {
+        OFFSET 0 0 0
+      }
+    }
+  }
+}
+MOTION
+Frames: 2
+Frame Time: 0.033333
+0 0 0 0 0 0 0 0 0 0 0 0
+1 2 3 0 0 0 90 0 0 0 0 0
+"""
+        p = tmp_path / "chain.bvh"
+        p.write_text(text)
+        data = bvh.parse_bvh(p)
+        pos = bvh.bvh_to_positions(data)
+        assert pos.shape == (2, 3, 3)
+        # frame 0: rest pose — joints at x=0,1,2
+        np.testing.assert_allclose(pos[0], [[0, 0, 0], [1, 0, 0], [2, 0, 0]], atol=1e-6)
+        # frame 1: root moved to (1,2,3); b rotated +90° about Z so c's
+        # offset (1,0,0) maps to (0,1,0) in world
+        np.testing.assert_allclose(pos[1, 0], [1, 2, 3], atol=1e-6)
+        np.testing.assert_allclose(pos[1, 1], [2, 2, 3], atol=1e-6)
+        np.testing.assert_allclose(pos[1, 2], [2, 3, 3], atol=1e-5)
+
+    def test_positions_roundtrip_vs_direct_fk(self, tmp_path):
+        """write_bvh -> parse_bvh -> bvh_to_positions must equal direct FK
+        over the same rotations/offsets (random 8-joint tree)."""
+        rng = np.random.default_rng(4)
+        parents = np.array([-1, 0, 1, 1, 0, 4, 5, 5])
+        offsets = rng.normal(0, 0.5, (8, 3))
+        t = 6
+        rots = rng.uniform(-60, 60, (t, 8, 3))  # ZXY degrees
+        root_pos = rng.normal(0, 1, (t, 3))
+        names = [f"j{i}" for i in range(8)]
+        p = bvh.write_bvh(tmp_path / "t.bvh", parents, names, offsets, rots, root_pos)
+        pos = bvh.bvh_to_positions(bvh.parse_bvh(p))
+
+        from scipy.spatial.transform import Rotation
+
+        # direct FK in the original joint indexing
+        world_r = np.zeros((t, 8, 3, 3))
+        world_p = np.zeros((t, 8, 3))
+        for i in range(8):
+            local = Rotation.from_euler("ZXY", rots[:, i], degrees=True).as_matrix()
+            if parents[i] < 0:
+                world_r[:, i] = local
+                world_p[:, i] = offsets[i] + root_pos
+            else:
+                pa = parents[i]
+                world_r[:, i] = world_r[:, pa] @ local
+                world_p[:, i] = world_p[:, pa] + np.einsum(
+                    "tab,b->ta", world_r[:, pa], offsets[i]
+                )
+        # parsed joints may be DFS-reordered; match by name
+        data = bvh.parse_bvh(p)
+        for k, joint in enumerate(data.joints):
+            i = names.index(joint.name)
+            np.testing.assert_allclose(pos[:, k], world_p[:, i], atol=1e-5)
+
     def test_euler_consistency(self):
         import jax.numpy as jnp
 
