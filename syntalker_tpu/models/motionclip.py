@@ -58,3 +58,69 @@ def clip_alignment_loss(motion_emb: jax.Array, clip_emb: jax.Array) -> jax.Array
     m = motion_emb / jnp.linalg.norm(motion_emb, axis=-1, keepdims=True)
     c = clip_emb / jnp.linalg.norm(clip_emb, axis=-1, keepdims=True)
     return jnp.mean(1.0 - jnp.sum(m * c, axis=-1))
+
+
+class MotionCLIPDecoder(nn.Module):
+    """CLIP-space latent -> motion (Decoder_TRANSFORMER, motionclip.py:96-193).
+
+    ACTOR-style: learned per-frame time queries cross-attend to the single
+    latent token through pre-LN blocks; a final projection emits rot6d
+    frames. Static ``num_frames`` keeps the XLA program shape-stable."""
+
+    cfg: MotionCLIPConfig = MotionCLIPConfig()
+    num_frames: int = 60
+
+    @nn.compact
+    def __call__(self, z: jax.Array) -> jax.Array:
+        """(B, clip_dim) -> (B, num_frames, input_feats)."""
+        c = self.cfg
+        b = z.shape[0]
+        queries = self.param(
+            "time_queries",
+            nn.initializers.normal(0.02),
+            (self.num_frames, c.latent_dim),
+        )
+        h = jnp.tile(queries[None], (b, 1, 1))
+        zt = nn.Dense(c.latent_dim, name="latent_in")(z)[:, None, :]  # (B, 1, D)
+        for i in range(c.num_layers // 2):
+            q = nn.LayerNorm(name=f"ln_q{i}")(h)
+            attn = nn.MultiHeadDotProductAttention(
+                num_heads=c.num_heads, name=f"cross{i}"
+            )(q, zt, zt)
+            h = h + attn
+            f = nn.LayerNorm(name=f"ln_f{i}")(h)
+            f = nn.Dense(c.ff_size, name=f"fc1_{i}")(f)
+            f = nn.gelu(f)
+            f = nn.Dense(c.latent_dim, name=f"fc2_{i}")(f)
+            h = h + f
+        return nn.Dense(c.input_feats, name="out")(h)
+
+
+def make_motionclip_train_step(encoder: MotionCLIP, decoder: MotionCLIPDecoder,
+                               optimizer, lambdas=None):
+    """Joint encode/decode training (MOTIONCLIP.forward + compute_loss,
+    motionclip.py:195-236): rot6d reconstruction + velocity + cosine
+    alignment to frozen CLIP text features, weighted by ``lambdas``."""
+    import optax
+
+    lambdas = lambdas or {"rc": 1.0, "vel": 1.0, "clip": 1.0}
+
+    def step(params, opt_state, batch):
+        def loss_fn(p):
+            emb = encoder.apply({"params": p["enc"]}, batch["motion"])
+            rec = decoder.apply({"params": p["dec"]}, emb)
+            rc = jnp.mean((rec - batch["motion"]) ** 2)
+            vel = jnp.mean(
+                (jnp.diff(rec, axis=1) - jnp.diff(batch["motion"], axis=1)) ** 2
+            )
+            clip_l = clip_alignment_loss(emb, batch["clip_emb"])
+            loss = lambdas["rc"] * rc + lambdas["vel"] * vel + lambdas["clip"] * clip_l
+            return loss, {"rc": rc, "vel": vel, "clip": clip_l}
+
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        metrics["loss"] = loss
+        return params, opt_state, metrics
+
+    return step

@@ -231,3 +231,41 @@ class TestOptimizerFactory:
             assert v0 >= 0 and v50 > 0
         s = make_schedule("step", 1.0, decay_steps=10, decay_rate=0.1)
         assert abs(float(s(10)) - 0.1) < 1e-6
+
+
+class TestMotionCLIPDecoder:
+    def test_encode_decode_train_step(self):
+        import optax
+
+        from syntalker_tpu.models.motionclip import (
+            MotionCLIP,
+            MotionCLIPConfig,
+            MotionCLIPDecoder,
+            make_motionclip_train_step,
+        )
+
+        cfg = MotionCLIPConfig(clip_dim=16, latent_dim=16, ff_size=32,
+                               num_layers=2, num_heads=2)
+        enc = MotionCLIP(cfg)
+        dec = MotionCLIPDecoder(cfg, num_frames=12)
+        rng = jax.random.PRNGKey(0)
+        motion = jax.random.normal(rng, (4, 12, cfg.input_feats))
+        params = {
+            "enc": enc.init(rng, motion)["params"],
+            "dec": dec.init(jax.random.fold_in(rng, 1), jnp.zeros((4, 16)))["params"],
+        }
+        rec = dec.apply({"params": params["dec"]},
+                        enc.apply({"params": params["enc"]}, motion))
+        assert rec.shape == motion.shape
+
+        opt = optax.adam(1e-3)
+        opt_state = opt.init(params)
+        step = jax.jit(make_motionclip_train_step(enc, dec, opt))
+        batch = {"motion": motion,
+                 "clip_emb": jax.random.normal(jax.random.fold_in(rng, 2), (4, 16))}
+        first = None
+        for _ in range(30):
+            params, opt_state, m = step(params, opt_state, batch)
+            if first is None:
+                first = float(m["loss"])
+        assert float(m["loss"]) < first
