@@ -511,10 +511,10 @@ def stage_jax(args):
         seed_lat[:, : plan.pre_frames], jax.random.PRNGKey(3), sampler="ddim",
     )
     dec_parts = {}
-    for j, (n_, (m, pp, _q)) in enumerate(rvq_modules.items()):
+    for j, (n_, (m, pp, qs)) in enumerate(rvq_modules.items()):
         z = latents[..., j * 512 : (j + 1) * 512] * scale
         dec_parts[n_] = np.asarray(
-            m.apply({"params": pp}, z, method="latent2origin")
+            m.apply({"params": pp}, z, qs, method="latent2origin")
         )[0]
     report["generation_seconds"] = time.time() - t_gen
     np.savez(out / "jax_gen.npz", **dec_parts)
@@ -598,6 +598,25 @@ def stage_metrics(args):
     res = {
         "reference_torch": stack_metrics(np.load(out / "torch_gen.npz"), gt_rot6d, audio),
         "syntalker_tpu": stack_metrics(np.load(out / "jax_gen.npz"), gt_rot6d, audio),
+    }
+    # GT anchor for the diversity/alignment scales (FGD's anchor is the
+    # split-floor below)
+    n = res["syntalker_tpu"]["frames"]
+    gt_joints = np.asarray(
+        forward_joints(
+            smplx_model, jnp.asarray(data["poses"][:n]),
+            jnp.asarray(np.tile(data["betas"][None], (n, 1))),
+        )
+    ).reshape(n, -1)
+    gt_l1 = L1Div(); gt_l1.update(gt_joints.copy())
+    onset = audio[:, 1]
+    t_on = np.nonzero(onset)[0] / 16000.0
+    t_on = t_on[(t_on >= 2.0) & (t_on <= (n - 60) / 30.0)] - 2.0
+    gt_beats = aligner.motion_beats(gt_joints, 60, n - 60)
+    res["ground_truth"] = {
+        "l1div": float(gt_l1.result()),
+        "beat_align": float(aligner.score(t_on, gt_beats)),
+        "frames": int(n),
     }
     # GT-vs-GT sanity floor for the shared oracle
     half = gt_rot6d.shape[0] // 2
