@@ -8,12 +8,13 @@ documented oracle instead of random-init networks:
   docs/t2m_oracle_report.md            — training data, protocol, held-out
                                          R-precision vs chance
 
-Data: the five shipped demo clips (BEAT2 speaker 2), h3d-623 featurized
-through the JAX SMPL-X FK (synthetic skeleton — documented), windowed to
-96 frames, captioned deterministically (data/captions.py). Clip 5 is held
-out entirely; R-precision is computed on its windows against a pool of
-candidates, so a score above chance requires genuine text→motion transfer
-to unseen motion.
+Data: the shipped demo clip with GT motion (2_scott_0_1_1 — the other
+demo examples are audio-only), h3d-623 featurized through the JAX SMPL-X
+FK (synthetic skeleton — documented), windowed to 96 frames, captioned
+deterministically (data/captions.py). The last ~28% of the clip is held
+out with zero frame overlap; R-precision is computed on those windows
+against candidate pools, so a score above chance requires genuine
+text→motion transfer to unseen motion.
 
 Reference protocol being anchored: h3d_diffusion_new_trainer.py:833-849
 (oracle loading), :907-1060 (R-precision/matching over 32-candidate pools).
@@ -35,9 +36,12 @@ import jax.numpy as jnp
 import optax
 
 REF = "/root/reference"
-CLIPS = [f"2_scott_0_{i}_{i}" for i in (1, 2, 3, 4, 5)]
+# only clip 1 ships GT motion (the other demo examples are audio-only)
+CLIP = "2_scott_0_1_1"
 WINDOW = 96
 STRIDE = 16
+SPLIT_FRAC = 0.72  # temporal split: train windows end before this point,
+# held-out windows start after it — zero frame overlap
 ORACLE_HIDDEN = 512  # reduced from the original 1024: 5-clip corpus, and
 # the artifact must stay small enough to commit (fp16 npz)
 ITERS = 1200
@@ -52,21 +56,19 @@ def build_dataset():
     from syntalker_tpu.ops.smplx import synthetic_smplx_model
 
     smplx_model = synthetic_smplx_model()
-    sets = {}
-    for name in CLIPS:
-        arrays = preprocess_clip(
-            f"{REF}/demo/examples/{name}.npz",
-            f"{REF}/demo/examples/{name}.wav",
-            None, None, smplx_model=smplx_model,
-        )
-        h3d = arrays["h3d"]
-        wins = np.stack(
-            [h3d[i : i + WINDOW] for i in range(0, h3d.shape[0] - WINDOW + 1, STRIDE)]
-        )
-        sets[name] = wins
-        print(f"{name}: {wins.shape[0]} windows")
-    train = np.concatenate([sets[c] for c in CLIPS[:-1]])
-    test = sets[CLIPS[-1]]
+    arrays = preprocess_clip(
+        f"{REF}/demo/examples/{CLIP}.npz",
+        f"{REF}/demo/examples/{CLIP}.wav",
+        None, None, smplx_model=smplx_model,
+    )
+    h3d = arrays["h3d"]
+    n = h3d.shape[0]
+    b = int(SPLIT_FRAC * n)
+    starts = range(0, n - WINDOW + 1, STRIDE)
+    train = np.stack([h3d[i : i + WINDOW] for i in starts if i + WINDOW <= b])
+    test = np.stack([h3d[i : i + WINDOW] for i in starts if i >= b])
+    print(f"{CLIP}: {train.shape[0]} train / {test.shape[0]} held-out windows "
+          f"(temporal split at frame {b}/{n})")
 
     def captioned(wins):
         joints = np.asarray(recover_from_ric(jnp.asarray(wins)))
@@ -281,13 +283,14 @@ with a documented protocol, committed under `weights/t2m_oracle/`.
 
 ## Data & protocol
 
-- 5 shipped demo clips (BEAT2 speaker 2) -> h3d-623 features via JAX SMPL-X
-  FK (synthetic skeleton), {WINDOW}-frame windows, stride {STRIDE}.
+- demo clip 2_scott_0_1_1 (the only shipped GT motion) -> h3d-623 features
+  via JAX SMPL-X FK (synthetic skeleton), {WINDOW}-frame windows, stride {STRIDE}.
 - Captions are **deterministic rules over the motion itself**
   (`data/captions.py`): stance / tempo / dominant-arm / hand-height grammar
   with known POS tags — {len(caps)} distinct captions in the train corpus.
-- Clips 1–4 train ({train['motion'].shape[0]} windows), clip 5 held out
-  ({test['motion'].shape[0]} windows). R-precision over pools of
+- Temporal split at {SPLIT_FRAC:.0%}: {train['motion'].shape[0]} train windows,
+  {test['motion'].shape[0]} held-out windows (no frame overlap).
+  R-precision over pools of
   {bigru_eval['pool']} candidates, 20 replications
   (h3d_diffusion_new_trainer.py:907-1060 protocol).
 

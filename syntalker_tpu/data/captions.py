@@ -68,32 +68,47 @@ def caption_motion(joints: np.ndarray, fps: int = 30) -> Caption:
     root_speed = float(np.linalg.norm(vel[:, ROOT, :2], axis=-1).mean())
     lw_speed = float(np.linalg.norm(vel[:, L_WRIST], axis=-1).mean())
     rw_speed = float(np.linalg.norm(vel[:, R_WRIST], axis=-1).mean())
-    # wrist height relative to the shoulder line, normalized
-    lw_h = float((j[:, L_WRIST, 1] - j[:, L_SHOULDER, 1]).mean()) / scale
-    rw_h = float((j[:, R_WRIST, 1] - j[:, R_SHOULDER, 1]).mean()) / scale
+    head_speed = float(np.linalg.norm(vel[:, HEAD], axis=-1).mean())
+    # dominant wrist's height TREND over the window (end minus start, in
+    # shoulder widths) — trend, not absolute height, because absolute rest
+    # heights depend on the (possibly synthetic) skeleton
+    dom = L_WRIST if lw_speed >= rw_speed else R_WRIST
+    k = max(1, j.shape[0] // 8)
+    trend = float(
+        (j[-k:, dom, 1].mean() - j[:k, dom, 1].mean()) / scale
+    )
 
     words: List[Tuple[str, str]] = [("a", "DET"), ("person", "NOUN")]
-    words.append(("walks", "VERB") if root_speed > 0.5 else ("stands", "VERB"))
+    # thresholds calibrated to conversational gesture (BEAT-scale speeds are
+    # ~0.5-2.5 shoulder-widths/s, far below full-body locomotion datasets)
+    words.append(("walks", "VERB") if root_speed > 0.35 else ("stands", "VERB"))
     words.append(("and", "CCONJ"))
 
     tempo = lw_speed + rw_speed
-    if tempo > 7.0:
+    if tempo > 2.0:
         words.append(("quickly", "ADV"))
-    elif tempo < 2.5:
+    elif tempo < 1.5:
         words.append(("slowly", "ADV"))
     else:
         words.append(("steadily", "ADV"))
 
+    if trend > 0.04:
+        words.append(("raises", "VERB"))
+    elif trend < -0.04:
+        words.append(("lowers", "VERB"))
+    else:
+        words.append(("waves", "VERB"))
+
     hi, lo = max(lw_speed, rw_speed), min(lw_speed, rw_speed)
-    both = lo > 0.6 * hi
-    raised = max(lw_h, rw_h) > -0.5
-    words.append(("raises", "VERB") if raised else ("moves", "VERB"))
-    if both:
+    if lo > 0.8 * hi:
         words += [("both", "DET"), ("hands", "NOUN")]
     elif lw_speed >= rw_speed:
         words += [("the", "DET"), ("left", "ADJ"), ("hand", "NOUN")]
     else:
         words += [("the", "DET"), ("right", "ADJ"), ("hand", "NOUN")]
+
+    if head_speed > 0.6:
+        words += [("while", "SCONJ"), ("nodding", "VERB")]
     return _phrase(words)
 
 

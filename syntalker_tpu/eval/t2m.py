@@ -168,6 +168,29 @@ class TextEncoderBiGRUCo(nn.Module):
 class T2MEvaluator:
     """Co-embedding oracle (EvaluatorMDMWrapper, t2m_eval_tools.py:833-898)."""
 
+    DEFAULT_ARTIFACT = "weights/t2m_oracle/bigru.npz"
+
+    @classmethod
+    def from_artifact(cls, path: Optional[str] = None) -> "T2MEvaluator":
+        """Load the committed self-hosted oracle (scripts/train_t2m_oracle.py
+        artifact + sidecar json with its config). Raises FileNotFoundError
+        when absent so callers fail loudly instead of silently scoring with
+        random weights."""
+        import json as _json
+        from pathlib import Path as _P
+
+        p = _P(path or cls.DEFAULT_ARTIFACT)
+        if not p.exists():
+            raise FileNotFoundError(
+                f"t2m oracle artifact {p} missing — run "
+                f"scripts/train_t2m_oracle.py (or pass explicit params)"
+            )
+        meta = _json.loads(p.with_suffix(".json").read_text())
+        cfg = T2MEvalConfig(**meta.get("config", {}))
+        ev = cls(cfg)
+        ev.params = load_oracle_params(p, ev.params)
+        return ev
+
     def __init__(self, cfg: T2MEvalConfig = T2MEvalConfig(), params=None, rng=None):
         self.cfg = cfg
         self.motion_enc = MotionEncoderBiGRUCo(cfg)
