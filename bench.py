@@ -21,8 +21,8 @@ Methodology (round-2 hardening):
 - MFU: analytic matmul FLOPs of the denoise path (XLA cost_analysis counts
   a scan body once regardless of trip count, so it can't be used here)
   divided by device time and the v5e bf16 peak (197 TFLOP/s), for (a) the
-  full e2e clip and (b) a 50-step denoise-only loop at the batch-64
-  serving config.
+  full e2e clip and (b) a 50-step denoise-only loop at the batch-256
+  serving config (the measured throughput knee of the batch sweep).
 
 Prints ONE json line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 """
@@ -145,10 +145,14 @@ def main():
     e2e_flops = plan.num_windows * 50 * mdm_denoise_flops(mdm_cfg, b, 32)
     e2e_mfu = e2e_flops / device_s / V5E_PEAK_FLOPS
 
-    # ---- serving-config MFU probe: 50-step denoise loop at batch 64 -------
+    # ---- serving-config MFU probe: 50-step denoise loop at batch 256 ------
+    # batch sweep (round 2, one v5e chip): 1.06 ms/window @64, 1.03 @128,
+    # 0.889 @256, 0.843 @512 — 256 is the knee (bigger batches buy <6% more
+    # throughput for 2x the latency); bf16 block compute adds only ~5%
+    # (the loop is not MXU-rate-bound), so f32 stays the default.
     serving = {}
     try:
-        bs = 64
+        bs = 256
         k = jax.random.PRNGKey(3)
         audio_w = jax.random.normal(jax.random.fold_in(k, 0), (bs, 533 * 128, 2))
         word_w = jnp.zeros((bs, 128), jnp.int32)
@@ -186,9 +190,10 @@ def main():
         loop_wall = statistics.median(lt)
         loop_flops = 50 * mdm_denoise_flops(mdm_cfg, bs, 32)
         serving = {
-            "serving_b64_ms_per_window": round(loop_wall / bs * 1e3, 3),
-            "serving_b64_motion_s_per_s": round(bs * (128 / 30.0) / loop_wall, 1),
-            "mfu_denoise_b64": round(loop_flops / loop_wall / V5E_PEAK_FLOPS, 4),
+            "serving_batch": bs,
+            "serving_ms_per_window": round(loop_wall / bs * 1e3, 3),
+            "serving_motion_s_per_s": round(bs * (128 / 30.0) / loop_wall, 1),
+            "mfu_denoise_serving": round(loop_flops / loop_wall / V5E_PEAK_FLOPS, 4),
         }
     except Exception as e:  # never lose the headline metric to the probe
         print(f"# serving MFU probe failed: {type(e).__name__}: {e}", file=sys.stderr)

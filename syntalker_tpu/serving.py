@@ -93,8 +93,10 @@ class MotionGenerationService:
         # donate the window inputs: the audio-feature stack is the largest
         # HBM buffer in the serving path (W x B x S x 2 f32 ≈ 0.5 GB at
         # batch 64) and is consumed once by encode_cond — donation lets XLA
-        # reuse it for sampler intermediates instead of holding both live
-        self._jitted = jax.jit(self._generate_batch, donate_argnums=(0, 2))
+        # reuse it for sampler intermediates instead of holding both live.
+        # (On the CPU backend donation is a no-op that only warns — skip.)
+        donate = (0, 2) if jax.default_backend() != "cpu" else ()
+        self._jitted = jax.jit(self._generate_batch, donate_argnums=donate)
 
     # ------------------------------------------------------------------
 
