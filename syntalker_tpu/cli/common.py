@@ -28,9 +28,14 @@ def setup(args) -> ExperimentConfig:
 
 
 def load_smplx_if_available(cfg: ExperimentConfig):
-    from syntalker_tpu.ops.smplx import load_smplx_npz
+    from syntalker_tpu.ops.smplx import load_smplx_npz, synthetic_smplx_model
 
     p = cfg.data.smplx_model_path
+    if p == "synthetic":
+        # geometry-plausible stand-in (tests / weightless environments);
+        # h3d featurization and joint metrics run, absolute joint positions
+        # are not the released SMPL-X body's
+        return synthetic_smplx_model()
     if p and Path(p).exists():
         return load_smplx_npz(p)
     return None

@@ -179,3 +179,36 @@ def test_eval_cli(beat_dir, tmp_path):
     metrics = json.loads((tmp_path / "run" / "metrics.json").read_text())
     assert metrics["clips"] == 1
     assert np.isfinite(metrics["fid"])
+
+
+def test_h3d_eval_cli(beat_dir, tmp_path):
+    """cli.test_h3d end-to-end: h3d cache (synthetic SMPL-X), committed
+    co-embedding oracle, 2-replication metric run with deterministic
+    captions."""
+    import json
+
+    from syntalker_tpu.eval.t2m import T2MEvaluator
+
+    if not Path(T2MEvaluator.DEFAULT_ARTIFACT).exists():
+        pytest.skip("oracle artifact not present")
+    from syntalker_tpu.cli import test_h3d
+
+    test_h3d.main(
+        [
+            "--run-dir", str(tmp_path / "run"),
+            "--max-clips", "1",
+            "--replications", "2",
+            f"data.data_path={beat_dir}/",
+            f"data.cache_path={tmp_path}/cache_h3d",
+            f"train.ckpt_dir={tmp_path}/run",
+            "data.smplx_model_path=synthetic",
+            "representation=h3d623",
+            "diffusion.timestep_respacing=ddim4",
+            "diffusion.sampler=ddim",
+        ]
+        + TINY
+        + ["mdm.latent_total_dim=1536"]
+    )
+    out = json.loads((tmp_path / "run" / "h3d_metrics.json").read_text())
+    assert np.isfinite(out["fid"]["mean"])
+    assert "r_precision_top1" in out
