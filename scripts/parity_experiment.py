@@ -60,7 +60,7 @@ RVQ_ITERS = 600
 RVQ_BATCH = 16
 RVQ_LR = 2e-4
 COMMIT_W = 0.02
-DIFF_STEPS = 200
+DIFF_STEPS = 200  # overridable via --diff-steps
 DIFF_BATCH = 8
 DIFF_LR = 5e-5
 AE_STEPS = 400
@@ -636,7 +636,9 @@ def main():
     ap.add_argument("--out", default="./outputs/parity")
     ap.add_argument("--stage", choices=["data", "torch", "jax", "metrics", "all"],
                     default="all")
+    ap.add_argument("--diff-steps", type=int, default=DIFF_STEPS)
     args = ap.parse_args()
+    globals()["DIFF_STEPS"] = args.diff_steps
     stages = {"data": stage_data, "torch": stage_torch, "jax": stage_jax,
               "metrics": stage_metrics}
     if args.stage == "all":
