@@ -33,6 +33,20 @@ import jax.numpy as jnp
 from flax import linen as nn
 from flax import struct
 
+import functools
+
+# torch-matching kernel init (nn.Linear / nn.Conv1d default,
+# kaiming_uniform(a=sqrt(5)) == U(+-1/sqrt(fan_in)), var = 1/(3 fan_in)).
+# flax's lecun-normal default (var = 1/fan_in) inflates the 8-block
+# residual stream ~3x at init; with the shipped grad-clip 0.99
+# (configs/diffusion_rvqvae_128.yaml:108) that clips init grad-norms of
+# ~5.2 down to 0.99 — a ~5x effective-LR starvation vs the reference
+# (measured init grad-norm 0.9 in torch on the same data). Matching the
+# init scale restores the reference's training dynamics.
+_TORCH_KERNEL_INIT = nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform")
+_Dense = functools.partial(nn.Dense, kernel_init=_TORCH_KERNEL_INIT)
+_Conv = functools.partial(nn.Conv, kernel_init=_TORCH_KERNEL_INIT)
+
 
 @dataclasses.dataclass(frozen=True)
 class MDMConfig:
@@ -108,7 +122,7 @@ class AudioBasicBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        h = nn.Conv(
+        h = _Conv(
             self.channels,
             kernel_size=(15,),
             strides=(self.stride,),
@@ -117,10 +131,10 @@ class AudioBasicBlock(nn.Module):
         )(x)
         h = self._norm(h, "norm1")
         h = nn.leaky_relu(h, 0.01)
-        h = nn.Conv(self.channels, kernel_size=(15,), padding=((7, 7),), name="conv2")(h)
+        h = _Conv(self.channels, kernel_size=(15,), padding=((7, 7),), name="conv2")(h)
         h = self._norm(h, "norm2")
         if self.downsample:
-            sc = nn.Conv(
+            sc = _Conv(
                 self.channels,
                 kernel_size=(15,),
                 strides=(self.stride,),
@@ -211,7 +225,7 @@ class TransformerBlock(nn.Module):
     def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
         b, n, c = x.shape
         h = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
-        qkv = nn.Dense(3 * c, use_bias=False, dtype=self.dtype, name="qkv")(h)
+        qkv = _Dense(3 * c, use_bias=False, dtype=self.dtype, name="qkv")(h)
         qkv = qkv.reshape(b, n, 3, self.num_heads, c // self.num_heads)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
         q = jnp.swapaxes(q, 1, 2)  # (B, H, N, D)
@@ -222,13 +236,13 @@ class TransformerBlock(nn.Module):
         attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(self.dtype)
         out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
         out = jnp.swapaxes(out, 1, 2).reshape(b, n, c)
-        out = nn.Dense(c, dtype=self.dtype, name="proj")(out)
+        out = _Dense(c, dtype=self.dtype, name="proj")(out)
         x = x + self._drop_path(out, train)
 
         h = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
-        h = nn.Dense(self.mlp_dim, dtype=self.dtype, name="fc1")(h)
+        h = _Dense(self.mlp_dim, dtype=self.dtype, name="fc1")(h)
         h = nn.gelu(h, approximate=False)  # exact erf GELU (torch nn.GELU)
-        h = nn.Dense(c, dtype=self.dtype, name="fc2")(h)
+        h = _Dense(c, dtype=self.dtype, name="fc2")(h)
         return x + self._drop_path(h, train)
 
 
@@ -241,9 +255,9 @@ class _TimestepMLP(nn.Module):
     def __call__(self, t: jax.Array) -> jax.Array:
         table = _sinusoidal_table(5000, self.latent_dim)
         e = table[t]
-        e = nn.Dense(self.latent_dim, name="fc1")(e)
+        e = _Dense(self.latent_dim, name="fc1")(e)
         e = nn.silu(e)
-        return nn.Dense(self.latent_dim, name="fc2")(e)
+        return _Dense(self.latent_dim, name="fc2")(e)
 
 
 class _ScanBlockBody(nn.Module):
@@ -295,7 +309,7 @@ class MDM(nn.Module):
             (c.vocab_size, c.word_embed_dim),
         )
         text_feat = word_table[word]  # (B, F, 300)
-        text_feat = nn.Dense(c.word_feat_dim, name="text_encoder")(text_feat)
+        text_feat = _Dense(c.word_feat_dim, name="text_encoder")(text_feat)
 
         b = audio_feat.shape[0]
         if train and c.cond_mask_prob_audio > 0 and cond_rng is not None:
@@ -316,12 +330,12 @@ class MDM(nn.Module):
         at = jnp.concatenate(
             [audio_feat[:, :f_common], text_feat[:, :f_common]], axis=-1
         )
-        at = nn.Dense(c.audio_feat_dim, name="mix_audio_text")(at)
+        at = _Dense(c.audio_feat_dim, name="mix_audio_text")(at)
         # average-pool to the latent frame rate (denoiser.py:157)
         f = at.shape[1] // c.squeeze_scale
         at = at[:, : f * c.squeeze_scale].reshape(b, f, c.squeeze_scale, -1).mean(2)
 
-        seed_emb = nn.Dense(c.latent_dim, name="embed_seed")(seed.reshape(b, -1))
+        seed_emb = _Dense(c.latent_dim, name="embed_seed")(seed.reshape(b, -1))
 
         prompt_feat = None
         if c.use_prompt:
@@ -369,16 +383,16 @@ class MDM(nn.Module):
         if t_emb is None:
             t_emb = _TimestepMLP(c.latent_dim, name="time_mlp")(t)
 
-        x_emb = nn.Dense(c.latent_dim, name="input_process")(x_t)  # (B, T, 512)
+        x_emb = _Dense(c.latent_dim, name="input_process")(x_t)  # (B, T, 512)
         style = (cond.seed_emb + t_emb)[:, None, :].repeat(n, axis=1)
         at = cond.at_feat[:, :n]
         xseq = jnp.concatenate([style, x_emb, at], axis=-1)
-        xseq = nn.Dense(c.latent_dim, name="input_process2")(xseq)
+        xseq = _Dense(c.latent_dim, name="input_process2")(xseq)
 
         if c.use_prompt and cond.prompt_feat is not None:
             p = cond.prompt_feat[:, None, :].repeat(n, axis=1)
             xseq = jnp.concatenate([xseq, p], axis=-1)
-            xseq = nn.Dense(c.latent_dim, name="input_process3")(xseq)
+            xseq = _Dense(c.latent_dim, name="input_process3")(xseq)
 
         # RoPE over rope_heads sub-chunks of the embedding (denoiser.py:178-186).
         # Applied on (B, N, RH, hd) directly — the angle broadcast makes the
@@ -420,7 +434,7 @@ class MDM(nn.Module):
                 )(xseq, train=train)
         xseq = xseq.astype(jnp.float32)
 
-        return nn.Dense(c.latent_total_dim, name="output_process")(xseq)
+        return _Dense(c.latent_total_dim, name="output_process")(xseq)
 
     def __call__(
         self,
