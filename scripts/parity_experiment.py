@@ -174,6 +174,7 @@ def _fabricate_vocab(out: Path) -> str:
 
 def stage_torch(args):
     torch = _ref_setup()
+    diff_steps = getattr(args, "diff_steps", DIFF_STEPS)
     out = _out(args)
     data = np.load(out / "windows.npz")
     report = {}
@@ -247,7 +248,7 @@ def stage_torch(args):
     word_w = torch.zeros(audio_w.shape[0], 128, dtype=torch.long)
     losses = []
     t_diff = time.time()
-    for it in range(DIFF_STEPS):
+    for it in range(diff_steps):
         idx = rng.integers(0, latent_in.shape[0], DIFF_BATCH)
         x0 = latent_in[idx].permute(0, 2, 1).unsqueeze(2)  # (B, 1536, 1, 32)
         cond = {"y": {
@@ -268,7 +269,7 @@ def stage_torch(args):
     report["diffusion"] = {"first_loss": float(np.mean(losses[:10])),
                            "last_loss": float(np.mean(losses[-10:])),
                            "seconds": time.time() - t_diff,
-                           "sec_per_step": (time.time() - t_diff) / DIFF_STEPS}
+                           "sec_per_step": (time.time() - t_diff) / diff_steps}
 
     # ---- 4. eval-VAE oracle (motion_representation.py:31-95 composition,
     #          trained like our ae_trainer: MSE recon) ----
@@ -373,7 +374,8 @@ def _torch_generate(torch, model, diffusion, rvqs, scale, data, margs):
         latents = torch.cat(rec, dim=1) * scale
         parts = {}
         for j, p in enumerate(PARTS):
-            z = latents[..., j * 512 : (j + 1) * 512]
+            # .clone(): the reference quantizer mutates its input in place
+            z = latents[..., j * 512 : (j + 1) * 512].clone()
             parts[p] = rvqs[p].latent2origin(z)[0].numpy()[0]
     return parts, time.time() - t0
 
@@ -394,6 +396,7 @@ def _full_feature(data, part):
 # --------------------------------------------------------------------------
 
 def stage_jax(args):
+    diff_steps = getattr(args, "diff_steps", DIFF_STEPS)
     import jax
     import jax.numpy as jnp
 
@@ -476,7 +479,7 @@ def stage_jax(args):
     audio_w = data["diff_audio"]
     losses = []
     t_diff = time.time()
-    for it in range(DIFF_STEPS):
+    for it in range(diff_steps):
         idx = rng.integers(0, latent_in.shape[0], DIFF_BATCH)
         batch = {
             "latent_in": latent_in[jnp.asarray(idx)],
@@ -491,7 +494,7 @@ def stage_jax(args):
     report["diffusion"] = {"first_loss": float(np.mean(losses[:10])),
                            "last_loss": float(np.mean(losses[-10:])),
                            "seconds": time.time() - t_diff,
-                           "sec_per_step": (time.time() - t_diff) / DIFF_STEPS}
+                           "sec_per_step": (time.time() - t_diff) / diff_steps}
 
     # ---- 4. windowed DDIM-50 generation over the whole clip ----
     n = int(data["n_frames"])
@@ -638,7 +641,6 @@ def main():
                     default="all")
     ap.add_argument("--diff-steps", type=int, default=DIFF_STEPS)
     args = ap.parse_args()
-    globals()["DIFF_STEPS"] = args.diff_steps
     stages = {"data": stage_data, "torch": stage_torch, "jax": stage_jax,
               "metrics": stage_metrics}
     if args.stage == "all":

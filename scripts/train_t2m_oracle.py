@@ -42,8 +42,8 @@ WINDOW = 96
 STRIDE = 16
 SPLIT_FRAC = 0.72  # temporal split: train windows end before this point,
 # held-out windows start after it — zero frame overlap
-ORACLE_HIDDEN = 512  # reduced from the original 1024: 5-clip corpus, and
-# the artifact must stay small enough to commit (fp16 npz)
+ORACLE_HIDDEN = 512  # reduced from the original 1024: tiny single-clip
+# corpus, and the artifact must stay small enough to commit (fp16 npz)
 ITERS = 1200
 BATCH = 32
 LR = 1e-4
@@ -184,14 +184,8 @@ def train_tmr(train, rng):
     opt_state = opt.init(params)
     step = jax.jit(make_tmr_train_step(text, motion, opt))
 
-    # pre-embed the caption hidden states once (hash pipeline is static)
-    seqs = [pipeline._hash_hidden(c) for c in train["captions"]]
-    tmax = max(s.shape[0] for s in seqs)
-    hidden = np.zeros((len(seqs), tmax, tcfg.text_feats), np.float32)
-    mask = np.zeros((len(seqs), tmax), np.float32)
-    for i, s in enumerate(seqs):
-        hidden[i, : s.shape[0]] = s
-        mask[i, : s.shape[0]] = 1
+    # pre-embed the caption hidden states once (fixed-shape padding)
+    hidden, mask = pipeline.hidden_states(train["captions"])
 
     rng_np = np.random.default_rng(2)
     n = train["motion"].shape[0]
@@ -217,13 +211,7 @@ def eval_tmr(tcfg, params, pipeline, test, pool: int = 16, replications: int = 2
 
     text = DistilbertTextEncoder(tcfg)
     motion = ActorAgnosticEncoder(tcfg, input_dim=623)
-    seqs = [pipeline._hash_hidden(c) for c in test["captions"]]
-    tmax = max(s.shape[0] for s in seqs)
-    hidden = np.zeros((len(seqs), tmax, tcfg.text_feats), np.float32)
-    mask = np.zeros((len(seqs), tmax), np.float32)
-    for i, s in enumerate(seqs):
-        hidden[i, : s.shape[0]] = s
-        mask[i, : s.shape[0]] = 1
+    hidden, mask = pipeline.hidden_states(test["captions"])
     t_emb = np.asarray(text.apply(
         {"params": params["text"]}, jnp.asarray(hidden), jnp.asarray(mask)
     )[0])
@@ -264,7 +252,8 @@ def main():
         meta={"config": {"hidden": cfg.hidden, "dim_movement": cfg.dim_movement,
                          "dim_coemb": cfg.dim_coemb, "dim_pose": cfg.dim_pose},
               "train": bigru_train, "eval": bigru_eval,
-              "protocol": "demo clips 1-4 train / clip 5 held out; "
+              "protocol": f"single clip {CLIP}, temporal {SPLIT_FRAC:.0%} "
+                          "train / rest held out (no frame overlap); "
                           "deterministic captions (data/captions.py)"},
     )
     save_oracle_params(

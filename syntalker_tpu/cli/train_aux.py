@@ -124,16 +124,10 @@ def train_tmr(cfg, cache, iters: int, lr: float):
             if "h3d" not in batch:
                 raise SystemExit("TMR training needs h3d features in the cache "
                                  "(build with an SMPL-X model available)")
-            b = batch["h3d"].shape[0]
             joints = np.asarray(recover_from_ric(jnp.asarray(batch["h3d"])))
             caps = [caption_motion(j).text for j in joints]
-            seqs = [pipeline._hash_hidden(c) for c in caps]
-            tmax = max(s.shape[0] for s in seqs)
-            text_hidden = np.zeros((b, tmax, tcfg.text_feats), np.float32)
-            text_mask = np.zeros((b, tmax), np.float32)
-            for i, s in enumerate(seqs):
-                text_hidden[i, : s.shape[0]] = s
-                text_mask[i, : s.shape[0]] = 1
+            # fixed max_len keeps the jitted step on ONE compiled shape
+            text_hidden, text_mask = pipeline.hidden_states(caps)
             batch_t = {
                 "text_hidden": jnp.asarray(text_hidden),
                 "text_mask": jnp.asarray(text_mask),

@@ -287,12 +287,19 @@ class GestureEvaluator:
                     pre_frames=self.pre_frames,
                 ).num_windows
                 buckets.setdefault(w, []).append(i)
-            # each distinct (num_windows, bucket batch) shape is one XLA
+            # each distinct (num_windows, group size) shape pair is one XLA
             # compile of the sampler scan; everything after reuses the cache
+            shapes = {
+                (w, min(batch_clips, len(idxs) - lo))
+                for w, idxs in buckets.items()
+                for lo in range(0, len(idxs), batch_clips)
+            }
+            n_batches = sum(
+                (len(v) + batch_clips - 1) // batch_clips for v in buckets.values()
+            )
             log.info(
-                f"eval: {len(buckets)} plan bucket(s) -> at most "
-                f"{sum((len(v) + batch_clips - 1) // batch_clips for v in buckets.values())} "
-                f"batches, {len(buckets)} sampler compiles"
+                f"eval: {len(buckets)} plan bucket(s) -> {n_batches} batches, "
+                f"{len(shapes)} sampler compiles"
             )
             for w, idxs in sorted(buckets.items()):
                 for lo in range(0, len(idxs), batch_clips):

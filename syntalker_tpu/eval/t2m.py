@@ -168,7 +168,11 @@ class TextEncoderBiGRUCo(nn.Module):
 class T2MEvaluator:
     """Co-embedding oracle (EvaluatorMDMWrapper, t2m_eval_tools.py:833-898)."""
 
-    DEFAULT_ARTIFACT = "weights/t2m_oracle/bigru.npz"
+    # anchored to the repo root so from_artifact works from any cwd
+    DEFAULT_ARTIFACT = str(
+        __import__("pathlib").Path(__file__).resolve().parents[2]
+        / "weights/t2m_oracle/bigru.npz"
+    )
 
     @classmethod
     def from_artifact(cls, path: Optional[str] = None) -> "T2MEvaluator":

@@ -20,7 +20,6 @@ Capability parity with ``models/temos/``:
 from __future__ import annotations
 
 import dataclasses
-import hashlib
 import logging
 from typing import Dict, Optional
 
@@ -144,13 +143,38 @@ class TextPipeline:
         self.head_params = head_params
 
     def _hash_hidden(self, text: str, max_len: int = 16) -> np.ndarray:
-        """Deterministic pseudo-embedding per word (weightless fallback)."""
+        """Deterministic pseudo-embedding per word (weightless fallback);
+        the per-word scheme is data.captions.hash_word_vector, so captioner
+        word vectors and TMR text embeddings share one hash space."""
+        from syntalker_tpu.data.captions import hash_word_vector
+
         words = text.lower().split()[:max_len] or ["<empty>"]
         out = np.zeros((len(words), self.cfg.text_feats), np.float32)
         for i, w in enumerate(words):
-            seed = int.from_bytes(hashlib.sha1(w.encode()).digest()[:4], "little")
-            out[i] = np.random.default_rng(seed).normal(0, 1, self.cfg.text_feats)
+            out[i] = hash_word_vector(w, self.cfg.text_feats)
         return out
+
+    def hidden_states(self, texts: list[str], max_len: int = 16):
+        """(N,) strings -> padded (N, L, text_feats) hidden states + (N, L)
+        mask, through the DistilBERT backbone when configured, else the
+        hash fallback. L is fixed at ``max_len`` so jitted consumers keep
+        static shapes across batches."""
+        if self.backbone is not None:
+            toks = self.tokenizer(
+                texts, return_tensors="np", padding="max_length",
+                truncation=True, max_length=max_len,
+            )
+            return (
+                np.asarray(self.backbone(**toks).last_hidden_state),
+                np.asarray(toks["attention_mask"], np.float32),
+            )
+        hidden = np.zeros((len(texts), max_len, self.cfg.text_feats), np.float32)
+        mask = np.zeros((len(texts), max_len), np.float32)
+        for i, t in enumerate(texts):
+            s = self._hash_hidden(t, max_len)
+            hidden[i, : s.shape[0]] = s
+            mask[i, : s.shape[0]] = 1
+        return hidden, mask
 
     def embed(self, texts: list[str]) -> jax.Array:
         """(N,) strings -> (N, latent_dim) align-space means (`.loc` usage,

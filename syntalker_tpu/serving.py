@@ -3,7 +3,7 @@
 Production serving layer over the generation pipeline: requests (audio +
 words + optional prompts) are queued, grouped into fixed batch shapes, and
 executed together — one compiled program per (batch, windows) bucket. At
-batch 64 one v5e chip sustains ~5,300 motion-seconds/second (see
+batch 256 one v5e chip sustains ~4,800 motion-seconds/second (see
 BASELINE.md), ~20× the single-request rate, because the per-NFE launch
 overhead amortizes across the batch.
 
