@@ -69,15 +69,24 @@ def load_checkpoint(ckpt_path: str | Path, target: TrainState) -> TrainState:
 
 
 def load_checkpoint_raw(ckpt_path: str | Path) -> dict:
-    """Restore without a target pytree (nested dicts of numpy arrays).
+    """Restore without a target pytree (nested dicts of device arrays).
 
     For consumers that need only a subset of the saved train state — e.g.
     loading frozen RVQ params+codebooks into an inference stack without
-    reconstructing the optimizer tree."""
+    reconstructing the optimizer tree. Leaves are converted to jax arrays:
+    orbax restores host numpy, and a numpy param table indexed by a traced
+    array inside jit (e.g. ``word_embedding[word]``) raises
+    TracerArrayConversionError."""
     import orbax.checkpoint as ocp
 
     with ocp.StandardCheckpointer() as ckptr:
-        return ckptr.restore(Path(ckpt_path).absolute())
+        raw = ckptr.restore(Path(ckpt_path).absolute())
+    import jax.numpy as jnp
+    import numpy as np
+
+    return jax.tree.map(
+        lambda x: jnp.asarray(x) if isinstance(x, np.ndarray) else x, raw
+    )
 
 
 def latest_checkpoint(ckpt_dir: str | Path) -> Optional[Path]:

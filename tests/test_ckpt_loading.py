@@ -53,3 +53,30 @@ def test_rvq_ckpt_roundtrip_into_stack(tmp_path):
         np.asarray(qstate.codebook),
         np.asarray(jax.device_get(trainer.state.quantizer_state.codebook)),
     )
+
+
+def test_load_checkpoint_raw_returns_device_arrays(tmp_path):
+    """Restored leaves must be jax arrays: numpy leaves break traced
+    indexing inside jit (word_embedding[word] in the sampler raised
+    TracerArrayConversionError when the generate CLI loaded a checkpoint —
+    caught by driving cli.generate end-to-end with trained weights)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from syntalker_tpu.train import state as ts
+
+    params = {"table": jnp.arange(12.0).reshape(4, 3)}
+    st = ts.create_train_state(params, optax.adam(1e-3), jax.random.PRNGKey(0))
+    path = ts.save_checkpoint(tmp_path / "ck", st, 0)
+    raw = ts.load_checkpoint_raw(path)
+    leaf = raw["params"]["table"]
+    assert isinstance(leaf, jax.Array), type(leaf)
+
+    # the failing pattern: index a restored table with a traced int array
+    @jax.jit
+    def gather(idx):
+        return raw["params"]["table"][idx]
+
+    out = gather(jnp.asarray([[0, 2]]))
+    assert out.shape == (1, 2, 3)
