@@ -140,6 +140,7 @@ def main():
         "nodrop": (dict(dropout=0.0), dict()),
         "lr2x_nodrop": (dict(dropout=0.0), dict(lr=1e-4)),
         "audio_none": (dict(audio_norm="none"), dict()),
+        "audio_batch": (dict(audio_norm="batch"), dict()),
     }
     results = {}
     for name in args.variants.split(","):

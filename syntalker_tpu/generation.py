@@ -35,7 +35,7 @@ from syntalker_tpu.data import joints as J
 from syntalker_tpu.diffusion.cfg import make_bodypart_cfg_model_fn
 from syntalker_tpu.diffusion.core import _rng_split, ddim_sample, ddpm_sample
 from syntalker_tpu.diffusion.schedule import DiffusionParams
-from syntalker_tpu.models.denoiser import MDM
+from syntalker_tpu.models.denoiser import MDM, mdm_variables
 from syntalker_tpu.ops import rotations as rot
 
 
@@ -136,19 +136,20 @@ def sample_windows(
 
     # timestep embeddings for the whole schedule, once per clip — keeps the
     # table gather + MLP out of every NFE step
+    variables = mdm_variables(mdm_params)
     tmap = jnp.asarray(diffusion.timestep_map)
-    t_emb_all = mdm.apply({"params": mdm_params}, tmap, method="embed_timesteps")
+    t_emb_all = mdm.apply(variables, tmap, method="embed_timesteps")
 
     def denoise_fn(x, t, cond):
         idx = jnp.searchsorted(tmap, t)  # sampled-step index per batch row
         return mdm.apply(
-            {"params": mdm_params}, x, t, cond, method="denoise",
+            variables, x, t, cond, method="denoise",
             t_emb=t_emb_all[idx],
         )
 
     def encode(audio, word, seed, *, uncond_audio=False, prompt=None, uncond_prompt=False):
         return mdm.apply(
-            {"params": mdm_params},
+            variables,
             audio,
             word,
             seed,

@@ -74,8 +74,11 @@ class MDMConfig:
     # compile the block stack as one lax.scan over stacked layer params —
     # ~num_layers× smaller HLO (and compile time) with identical math
     scan_blocks: bool = True
-    # wav-encoder normalization: 'group' (training default) or 'none'
-    # (converted reference checkpoints with BatchNorm folded into convs)
+    # wav-encoder normalization: 'group' (training default — stateless),
+    # 'batch' (reference-exact BatchNorm; batch_stats collection threads
+    # through TrainState.model_state, and GSPMD makes the statistics
+    # global-batch under a data mesh = SyncBatchNorm for free), or 'none'
+    # (converted reference checkpoints with BN folded into convs)
     audio_norm: str = "group"
     # rematerialize block activations in backward (jax.checkpoint): trades
     # ~30% more flops for O(1) activation memory across layers — enables
@@ -115,13 +118,24 @@ class AudioBasicBlock(nn.Module):
     downsample: bool
     norm: str = "group"
 
-    def _norm(self, x, name):
+    def _norm(self, x, name, train):
         if self.norm == "none":
             return x
+        if self.norm == "batch":
+            # reference-exact BatchNorm1d (torch momentum 0.1 -> flax 0.9).
+            # Under jit over a data-sharded mesh the batch statistics are
+            # the TRUE global-batch moments (XLA reduces across shards), so
+            # this is the reference's SyncBatchNorm with zero extra code.
+            return nn.BatchNorm(
+                use_running_average=not train,
+                momentum=0.9,
+                epsilon=1e-5,
+                name=name,
+            )(x)
         return _group_norm(x, name)
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
         h = _Conv(
             self.channels,
             kernel_size=(15,),
@@ -129,10 +143,10 @@ class AudioBasicBlock(nn.Module):
             padding=((self.pad, self.pad),),
             name="conv1",
         )(x)
-        h = self._norm(h, "norm1")
+        h = self._norm(h, "norm1", train)
         h = nn.leaky_relu(h, 0.01)
         h = _Conv(self.channels, kernel_size=(15,), padding=((7, 7),), name="conv2")(h)
-        h = self._norm(h, "norm2")
+        h = self._norm(h, "norm2", train)
         if self.downsample:
             sc = _Conv(
                 self.channels,
@@ -141,7 +155,7 @@ class AudioBasicBlock(nn.Module):
                 padding=((self.pad, self.pad),),
                 name="down_conv",
             )(x)
-            sc = self._norm(sc, "down_norm")
+            sc = self._norm(sc, "down_norm", train)
         else:
             sc = x
         return nn.leaky_relu(h + sc, 0.01)
@@ -158,7 +172,7 @@ class WavEncoder(nn.Module):
     norm: str = "group"
 
     @nn.compact
-    def __call__(self, wav: jax.Array) -> jax.Array:
+    def __call__(self, wav: jax.Array, *, train: bool = False) -> jax.Array:
         # wav: (B, S) mono or (B, S, 2) feature channels
         if wav.ndim == 2:
             wav = wav[..., None]
@@ -173,7 +187,9 @@ class WavEncoder(nn.Module):
         ]
         h = wav
         for i, (c, s, p, down) in enumerate(plan):
-            h = AudioBasicBlock(c, s, p, down, norm=self.norm, name=f"block_{i}")(h)
+            h = AudioBasicBlock(c, s, p, down, norm=self.norm, name=f"block_{i}")(
+                h, train=train
+            )
         return h  # (B, F, out_dim)
 
 
@@ -301,7 +317,9 @@ class MDM(nn.Module):
         cond_rng: Optional[jax.Array] = None,
     ) -> Conditioning:
         c = self.cfg
-        audio_feat = WavEncoder(c.audio_feat_dim, norm=c.audio_norm, name="wav_encoder")(audio)
+        audio_feat = WavEncoder(c.audio_feat_dim, norm=c.audio_norm, name="wav_encoder")(
+            audio, train=train
+        )
 
         word_table = self.param(
             "word_embedding",
@@ -464,8 +482,24 @@ class MDM(nn.Module):
         return self.denoise(x_t, t, cond, train=train)
 
 
+def mdm_variables(params_or_vars) -> dict:
+    """Accept either a bare param tree or a full variables dict.
+
+    With ``audio_norm='batch'`` the module carries a ``batch_stats``
+    collection alongside ``params``; every apply site routes through this
+    helper so both forms work everywhere."""
+    if isinstance(params_or_vars, dict) and "params" in params_or_vars:
+        return params_or_vars
+    return {"params": params_or_vars}
+
+
 def create_mdm(cfg: MDMConfig, rng: jax.Array, *, frames: int = 128):
-    """Initialize (module, params) with example shapes of the shipped config."""
+    """Initialize (module, params-or-variables) with example shapes.
+
+    Returns the bare param tree for stateless configs; for
+    ``audio_norm='batch'`` returns the full variables dict (params +
+    batch_stats) — downstream code handles both via :func:`mdm_variables`.
+    """
     module = MDM(cfg)
     b = 1
     t_latent = frames // cfg.squeeze_scale
@@ -478,7 +512,9 @@ def create_mdm(cfg: MDMConfig, rng: jax.Array, *, frames: int = 128):
         jnp.zeros((b, frames), jnp.int32),
         jnp.zeros((b, cfg.n_seed, cfg.latent_total_dim)),
         prompt=jnp.zeros((b, cfg.prompt_dim)) if cfg.use_prompt else None,
-    )["params"]
+    )
+    if set(params.keys()) == {"params"}:
+        params = params["params"]
     return module, params
 
 

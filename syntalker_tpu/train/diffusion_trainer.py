@@ -54,10 +54,14 @@ def make_diffusion_train_step(
         t = jax.random.randint(k_t, (b,), 0, diffusion.num_steps)
         noise = jax.random.normal(k_noise, x0.shape)
         seed = x0[:, : cfg.pre_frames]
+        mstate = state.model_state or {}
 
         def loss_fn(params):
-            cond = mdm.apply(
-                {"params": params},
+            # mutable batch_stats: present only with audio_norm='batch';
+            # the running-moment updates come back as (non-differentiated)
+            # aux output and thread into TrainState.model_state
+            cond, updates = mdm.apply(
+                {"params": params, **mstate},
                 batch["audio"],
                 batch["word"],
                 seed,
@@ -66,11 +70,12 @@ def make_diffusion_train_step(
                 cond_rng=k_cond,
                 method="encode_cond",
                 rngs={"dropout": k_drop},
+                mutable=["batch_stats"],
             )
 
             def model_fn(x_t, t_orig):
                 return mdm.apply(
-                    {"params": params},
+                    {"params": params, **mstate},
                     x_t,
                     t_orig,
                     cond,
@@ -80,15 +85,19 @@ def make_diffusion_train_step(
                 )
 
             loss = training_loss(diffusion, model_fn, x0, t, noise)
-            return jnp.mean(loss)
+            return jnp.mean(loss), updates
 
-        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        (loss, stats_updates), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
         import optax
 
         updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
+        new_mstate = dict(stats_updates) or state.model_state
         new_state = state.replace(
-            step=state.step + 1, params=new_params, opt_state=new_opt, rng=rng
+            step=state.step + 1, params=new_params, opt_state=new_opt, rng=rng,
+            model_state=new_mstate,
         )
         return new_state, {"predict_x0_loss": loss}
 

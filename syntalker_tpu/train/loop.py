@@ -116,9 +116,17 @@ class DiffusionTrainer:
 
             vocab = Vocab.load(cfg.data.vocab_path)
             if vocab.word_embedding_weights is not None:
-                mdm_params = apply_word_embedding(
-                    mdm_params, vocab.word_embedding_weights
-                )
+                if isinstance(mdm_params, dict) and "params" in mdm_params:
+                    mdm_params = {
+                        **mdm_params,
+                        "params": apply_word_embedding(
+                            mdm_params["params"], vocab.word_embedding_weights
+                        ),
+                    }
+                else:
+                    mdm_params = apply_word_embedding(
+                        mdm_params, vocab.word_embedding_weights
+                    )
         self.rvq = load_rvq_stack(cfg, jax.random.fold_in(rng, 99))
         self.diffusion = make_diffusion(
             schedule=cfg.diffusion.schedule,

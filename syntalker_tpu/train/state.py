@@ -25,10 +25,18 @@ class TrainState(struct.PyTreeNode):
     rng: jax.Array
     # quantizer EMA codebooks (RVQ training) or None (diffusion training)
     quantizer_state: Any = None
+    # non-param module collections (e.g. WavEncoder batch_stats when
+    # audio_norm='batch'); None for stateless configs
+    model_state: Any = None
 
     def next_rngs(self, n: int = 2):
         keys = jax.random.split(self.rng, n + 1)
         return keys[0], keys[1:]
+
+    def model_variables(self) -> dict:
+        """Full variables dict for inference applies: params plus any extra
+        collections (batch_stats) carried in ``model_state``."""
+        return {"params": self.params, **(self.model_state or {})}
 
 
 def create_train_state(
@@ -36,13 +44,20 @@ def create_train_state(
     optimizer: optax.GradientTransformation,
     rng: jax.Array,
     quantizer_state: Any = None,
+    model_state: Any = None,
 ) -> TrainState:
+    # accept a full variables dict (params + extra collections) transparently
+    if isinstance(params, dict) and "params" in params:
+        extra = {k: v for k, v in params.items() if k != "params"}
+        model_state = model_state if model_state is not None else (extra or None)
+        params = params["params"]
     return TrainState(
         step=jnp.zeros((), jnp.int32),
         params=params,
         opt_state=optimizer.init(params),
         rng=rng,
         quantizer_state=quantizer_state,
+        model_state=model_state,
     )
 
 

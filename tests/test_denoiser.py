@@ -217,3 +217,80 @@ class TestInitScale:
             assert 0.8 * expect_sd < sd < 1.2 * expect_sd, (name, sd, expect_sd)
             # uniform, not normal: bounded support at sqrt(3)*sd
             assert float(np.abs(x).max()) < 2.0 * expect_sd, name
+
+
+class TestBatchNormAudio:
+    """audio_norm='batch': reference-exact BatchNorm WavEncoder with the
+    batch_stats collection threaded through TrainState.model_state.
+    (GSPMD makes the batch statistics global under a data mesh — the
+    reference needed SyncBatchNorm for the same behavior.)"""
+
+    CFG = dict(
+        latent_total_dim=48, latent_dim=32, ff_size=64, num_layers=1,
+        num_heads=2, rope_heads=4, audio_feat_dim=16, word_feat_dim=16,
+        word_embed_dim=8, vocab_size=32, dropout=0.0, audio_norm="batch",
+    )
+
+    def test_create_returns_variables_and_eval_forward(self):
+        from syntalker_tpu.models.denoiser import MDMConfig, create_mdm
+
+        module, variables = create_mdm(MDMConfig(**self.CFG), jax.random.PRNGKey(0), frames=32)
+        assert "batch_stats" in variables and "params" in variables
+        out = module.apply(
+            variables,
+            jnp.zeros((2, 8, 48)),
+            jnp.zeros((2,), jnp.int32),
+            jnp.zeros((2, 533 * 32, 2)),
+            jnp.zeros((2, 32), jnp.int32),
+            jnp.zeros((2, 4, 48)),
+        )
+        assert np.isfinite(np.asarray(out)).all()
+
+    def test_train_step_updates_running_stats(self):
+        from syntalker_tpu.diffusion.schedule import make_diffusion
+        from syntalker_tpu.models.denoiser import MDMConfig, create_mdm
+        from syntalker_tpu.train.diffusion_trainer import (
+            DiffusionTrainConfig,
+            make_diffusion_train_step,
+        )
+        from syntalker_tpu.train.state import create_train_state, make_diffusion_optimizer
+
+        rng = jax.random.PRNGKey(0)
+        module, variables = create_mdm(MDMConfig(**self.CFG), rng, frames=32)
+        opt = make_diffusion_optimizer()
+        state = create_train_state(variables, opt, rng)
+        assert state.model_state is not None and "batch_stats" in state.model_state
+        step = jax.jit(make_diffusion_train_step(module, make_diffusion(steps=8), opt,
+                                                 DiffusionTrainConfig()))
+        batch = {
+            "latent_in": jax.random.normal(rng, (4, 8, 48)),
+            "audio": jax.random.normal(jax.random.fold_in(rng, 1), (4, 533 * 32, 2)),
+            "word": jnp.zeros((4, 32), jnp.int32),
+        }
+        before = jax.tree.leaves(state.model_state)[0]
+        for _ in range(2):
+            state, m = step(state, batch)
+        after = jax.tree.leaves(state.model_state)[0]
+        assert np.isfinite(float(m["predict_x0_loss"]))
+        assert np.abs(np.asarray(after) - np.asarray(before)).max() > 0
+
+        # inference consumes the updated running stats via model_variables()
+        out = module.apply(
+            state.model_variables(),
+            batch["latent_in"],
+            jnp.zeros((4,), jnp.int32),
+            batch["audio"],
+            batch["word"],
+            batch["latent_in"][:, :4],
+        )
+        assert np.isfinite(np.asarray(out)).all()
+
+    def test_group_mode_state_is_none(self):
+        from syntalker_tpu.models.denoiser import MDMConfig, create_mdm
+        from syntalker_tpu.train.state import create_train_state, make_diffusion_optimizer
+
+        cfg = dict(self.CFG, audio_norm="group")
+        module, params = create_mdm(MDMConfig(**cfg), jax.random.PRNGKey(0), frames=32)
+        assert "params" not in params  # bare param tree, unchanged contract
+        st = create_train_state(params, make_diffusion_optimizer(), jax.random.PRNGKey(0))
+        assert st.model_state is None
