@@ -53,13 +53,15 @@ def main():
     from syntalker_tpu.models.denoiser import MDM, MDMConfig
     from syntalker_tpu.train.diffusion_trainer import make_latent_encoder
     from syntalker_tpu.train.loop import load_rvq_stack
-    from syntalker_tpu.train.state import load_checkpoint_raw
+    from syntalker_tpu.train.state import latest_checkpoint, load_checkpoint_raw
 
     report = json.loads((root / "report.json").read_text())
     lat_scale = report["latent_scale"]
 
+    # numeric-sorted latest step (lexicographic glob would pick step_8000
+    # over step_10000)
     rvq_ckpts = tuple(
-        str(sorted((root / "rvq" / f"rvq_{p}").glob("step_*"))[-1])
+        str(latest_checkpoint(root / "rvq" / f"rvq_{p}"))
         for p in ("upper", "hands", "lower")
     )
     cfg = ExperimentConfig(

@@ -38,7 +38,7 @@ def build_evaluator(
     rng = jax.random.PRNGKey(cfg.train.seed)
     mdm, mdm_params = create_mdm(cfg.mdm, rng, frames=cfg.data.pose_length)
     if cfg.test_ckpt:
-        mdm_params = ts.load_checkpoint_raw(cfg.test_ckpt)["params"]
+        mdm_params = ts.load_model_variables(cfg.test_ckpt)
 
     rvq = load_rvq_stack(cfg, jax.random.fold_in(rng, 99))
     diffusion = make_diffusion(

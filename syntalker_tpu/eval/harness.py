@@ -196,8 +196,14 @@ class GestureEvaluator:
             for s in samples
         ]
         assert len({p.num_windows for p in plans}) == 1, "bucket by window count"
-        # use the bucket's SHORTEST plan: longer clips are truncated (never
-        # zero-padded) so ground-truth comparisons stay on real frames
+        # Normalize input buffers to the bucket's SHORTEST plan. This is
+        # lossless: every plan in a window-count bucket generates exactly
+        # n = seed_span + W*round_l frames (a function of num_windows only),
+        # and n <= each clip's own trimmed n_frames by construction — so no
+        # window ever reads past the shortest buffer, and the evaluated
+        # frame range is identical to sequential whole-clip eval
+        # (test_mixed_length_bucket_metrics_equal_sequential pins the full
+        # FGD/BC/L1Div pipeline; ref protocol test.py:72 is batch-1).
         plan = min(plans, key=lambda p: p.n_frames)
         n = plan.out_latent_frames * plan.squeeze
 

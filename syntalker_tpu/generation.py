@@ -126,6 +126,7 @@ def sample_windows(
     prompts: Optional[Dict[str, jax.Array]] = None,
     guidance: Optional[dict] = None,
     uncond_audio: bool | jax.Array = False,  # traced: one compile serves both
+    style: Optional[jax.Array] = None,  # (B, style_dim) MotionCLIP embedding
 ) -> jax.Array:
     """Autoregressive windowed sampling; returns stitched latents
     (B, out_latent_frames, 1536) in the model's (÷latent_scale) space."""
@@ -154,6 +155,7 @@ def sample_windows(
             word,
             seed,
             prompt=prompt,
+            style=style,
             uncond_audio=uncond_audio,
             uncond_prompt=uncond_prompt,
             method="encode_cond",

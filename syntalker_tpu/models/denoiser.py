@@ -70,6 +70,13 @@ class MDMConfig:
     # text-prompt (h3d) extensions
     use_prompt: bool = False
     prompt_dim: int = 256  # TMR latent dim
+    # MotionCLIP style conditioning (reference use_motionclip,
+    # denoiser.py:103-104,172-174): a per-sample 512-d style embedding
+    # concatenated to every frame and projected back to latent_dim. The
+    # null condition is zeros (reference mask_cond zeroes the feature),
+    # unlike the prompt path's learned null embedding.
+    use_motionclip: bool = False
+    style_dim: int = 512
     dtype: jnp.dtype = jnp.float32  # compute dtype for the blocks
     # compile the block stack as one lax.scan over stacked layer params —
     # ~num_layers× smaller HLO (and compile time) with identical math
@@ -92,6 +99,7 @@ class Conditioning(struct.PyTreeNode):
     at_feat: jax.Array  # (B, T_latent, 256) fused audio+word features
     seed_emb: jax.Array  # (B, latent_dim) seed-pose embedding
     prompt_feat: Optional[jax.Array] = None  # (B, prompt_dim) or None
+    style_feat: Optional[jax.Array] = None  # (B, style_dim) MotionCLIP or None
 
 
 def _group_norm(x: jax.Array, name: str) -> jax.Array:
@@ -311,8 +319,10 @@ class MDM(nn.Module):
         seed: jax.Array,  # (B, n_seed, 1536) seed latent frames
         *,
         prompt: Optional[jax.Array] = None,  # (B, prompt_dim) TMR embedding
+        style: Optional[jax.Array] = None,  # (B, style_dim) MotionCLIP embed
         uncond_audio: bool | jax.Array = False,
         uncond_prompt: bool | jax.Array = False,
+        uncond_style: bool | jax.Array = False,
         train: bool = False,
         cond_rng: Optional[jax.Array] = None,
     ) -> Conditioning:
@@ -372,7 +382,25 @@ class MDM(nn.Module):
             mask_p = jnp.asarray(uncond_prompt, jnp.float32).reshape(-1, 1)
             prompt_feat = prompt * (1.0 - mask_p) + null_prompt * mask_p
 
-        return Conditioning(at_feat=at, seed_emb=seed_emb, prompt_feat=prompt_feat)
+        style_feat = None
+        if c.use_motionclip:
+            # reference mask_cond (denoiser.py:109-118): train-time Bernoulli
+            # dropout to zeros; force_mask (uncond_style) also zeros — the
+            # MotionCLIP null condition is the zero vector.
+            if style is None:
+                style = jnp.zeros((b, c.style_dim))
+            if train and c.cond_mask_prob > 0 and cond_rng is not None:
+                drop_s = jax.random.bernoulli(
+                    jax.random.fold_in(cond_rng, 2), c.cond_mask_prob, (b, 1)
+                )
+                style = style * (1.0 - drop_s)
+            mask_s = jnp.asarray(uncond_style, jnp.float32).reshape(-1, 1)
+            style_feat = style * (1.0 - mask_s)
+
+        return Conditioning(
+            at_feat=at, seed_emb=seed_emb, prompt_feat=prompt_feat,
+            style_feat=style_feat,
+        )
 
     # ---- timestep embedding (precomputable outside the NFE loop) ---------
 
@@ -411,6 +439,14 @@ class MDM(nn.Module):
             p = cond.prompt_feat[:, None, :].repeat(n, axis=1)
             xseq = jnp.concatenate([xseq, p], axis=-1)
             xseq = _Dense(c.latent_dim, name="input_process3")(xseq)
+
+        if c.use_motionclip and cond.style_feat is not None:
+            # reference input_process3 under use_motionclip (denoiser.py:
+            # 103-104,172-174); named input_process_style here because our
+            # input_process3 serves the h3d prompt path — both can coexist
+            s = cond.style_feat[:, None, :].repeat(n, axis=1)
+            xseq = jnp.concatenate([xseq, s], axis=-1)
+            xseq = _Dense(c.latent_dim, name="input_process_style")(xseq)
 
         # RoPE over rope_heads sub-chunks of the embedding (denoiser.py:178-186).
         # Applied on (B, N, RH, hd) directly — the angle broadcast makes the
@@ -463,8 +499,10 @@ class MDM(nn.Module):
         seed: jax.Array,
         *,
         prompt: Optional[jax.Array] = None,
+        style: Optional[jax.Array] = None,
         uncond_audio: bool | jax.Array = False,
         uncond_prompt: bool | jax.Array = False,
+        uncond_style: bool | jax.Array = False,
         train: bool = False,
         cond_rng: Optional[jax.Array] = None,
     ) -> jax.Array:
@@ -474,8 +512,10 @@ class MDM(nn.Module):
             word,
             seed,
             prompt=prompt,
+            style=style,
             uncond_audio=uncond_audio,
             uncond_prompt=uncond_prompt,
+            uncond_style=uncond_style,
             train=train,
             cond_rng=cond_rng,
         )
@@ -512,6 +552,7 @@ def create_mdm(cfg: MDMConfig, rng: jax.Array, *, frames: int = 128):
         jnp.zeros((b, frames), jnp.int32),
         jnp.zeros((b, cfg.n_seed, cfg.latent_total_dim)),
         prompt=jnp.zeros((b, cfg.prompt_dim)) if cfg.use_prompt else None,
+        style=jnp.zeros((b, cfg.style_dim)) if cfg.use_motionclip else None,
     )
     if set(params.keys()) == {"params"}:
         params = params["params"]

@@ -5,8 +5,10 @@ MOTIONCLIP :195, get_model :245): an ACTOR-style transformer that embeds
 22-joint rot6d body motion into a 512-d CLIP-aligned space. The reference
 gates it behind ``use_motionclip`` (default False, utils/config.py:58) and
 concatenates the style embedding per frame in the denoiser
-(denoiser.py:103-104,172-174) — the same plumbing our MDM exposes via
-``use_prompt``/``prompt_dim=512``.
+(denoiser.py:103-104,172-174) — our MDM mirrors this via
+``MDMConfig(use_motionclip=True)``: the (B, 512) embedding from this
+encoder feeds ``style=`` on train/encode_cond/sample_windows, with
+zero-vector null conditioning and CFG-style train dropout.
 
 The CLIP text tower is an external frozen artifact; training aligns motion
 embeddings to precomputed CLIP text features by cosine loss.

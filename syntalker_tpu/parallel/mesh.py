@@ -20,6 +20,7 @@ for future larger denoisers).
 
 from __future__ import annotations
 
+import re
 from typing import Any, Optional, Sequence
 
 import jax
@@ -69,12 +70,21 @@ def replicate(tree: Any, mesh: Mesh) -> Any:
 
 # Explicit tensor-parallel layout for the MDM transformer stack
 # (Megatron-style: the attention and MLP each are a column-parallel matmul
-# followed by a row-parallel one, so the only collective per block is the
-# psum XLA inserts after proj/fc2 — one all-reduce per block over ICI).
+# followed by a row-parallel one; the dominant collective per block is the
+# psum XLA inserts after proj/fc2 — one all-reduce per block over ICI.
+# Caveat: the fused qkv kernel's output dim is qkv-major (q|k|v blocks of C
+# each, matching the torch in_proj layout convert.py maps), so a contiguous
+# shard of 3C does not align with the (3, H, head_dim) reshape boundaries
+# and GSPMD inserts an extra per-block reshard of the qkv activation.
+# Numerics are tested correct; head-aligned separate q/k/v kernels would
+# remove that reshard at the cost of breaking checkpoint-layout parity).
 #
 # Keys are path *suffixes* matched against the flattened param path; the
 # leading ``blocks/block`` scan axis (layer dim L) is position 0 of every
-# stacked kernel, hence the 3-d specs. Everything not listed — embeddings
+# stacked kernel, hence the 3-d specs. With ``scan_blocks=False`` the
+# params appear unrolled (``blocks_0/qkv/kernel``, one rank lower); the
+# matcher below normalizes those paths onto the same table and drops the
+# layer dim from the spec. Everything not listed — embeddings
 # (``word_embedding`` is a bare (V, D) table), LayerNorms, the WavEncoder
 # convs, input/output projections, the timestep MLP — is explicitly
 # replicated: those are either tiny or bandwidth-bound gathers that TP
@@ -97,20 +107,37 @@ def _path_str(path: tuple) -> str:
     return "/".join(str(getattr(p, "key", getattr(p, "name", p))) for p in path)
 
 
+_UNROLLED_BLOCK = re.compile(r"(^|/)blocks?_\d+/")
+
+
 def param_specs(params: Any, layout: Optional[dict] = None) -> Any:
     """Pytree of PartitionSpecs for ``params`` from an explicit layout table.
 
     ``layout`` maps path suffixes to specs; unmatched parameters are
-    replicated (P()). A matched spec whose sharded dims don't divide the
-    parameter's shape is a layout bug — surfaced by ``shard_params``.
+    replicated (P()). Unrolled block paths (``blocks_3/qkv/kernel`` from
+    ``scan_blocks=False``) are normalized onto the scan-stacked table keys
+    with the leading layer dim dropped from the spec, so TP is never
+    silently disabled by the unrolled layout. A matched spec whose sharded
+    dims don't divide the parameter's shape is a layout bug — surfaced by
+    ``shard_params``.
     """
     table = MDM_TP_LAYOUT if layout is None else layout
 
-    def spec_for(path, x):
-        name = _path_str(path)
+    def lookup(name):
         for suffix, spec in table.items():
             if name == suffix or name.endswith("/" + suffix):
                 return spec
+        return None
+
+    def spec_for(path, x):
+        name = _path_str(path)
+        spec = lookup(name)
+        if spec is not None:
+            return spec
+        if _UNROLLED_BLOCK.search(name):
+            spec = lookup(_UNROLLED_BLOCK.sub(r"\1blocks/block/", name))
+            if spec is not None:
+                return P(*spec[1:])  # drop the scan layer dim
         return P()
 
     flat = jax.tree_util.tree_flatten_with_path(params)[0]
@@ -137,14 +164,29 @@ def shard_params(
     )
     treedef = jax.tree_util.tree_structure(params)
     leaves = []
+    any_model_sharded = False
     for (path, x), spec in zip(flat_p, flat_s):
+        if len(spec) > x.ndim:
+            raise ValueError(
+                f"TP layout error: {_path_str(path)} has rank {x.ndim} but "
+                f"its layout spec {spec} has {len(spec)} dims (scan-stacked "
+                f"spec matched against an unrolled param?)"
+            )
         for i, s in enumerate(spec):
             if s is not None and x.shape[i] % mesh.shape[s]:
                 raise ValueError(
                     f"TP layout error: {_path_str(path)} shape {x.shape} dim "
                     f"{i} not divisible by mesh axis '{s}'={mesh.shape[s]}"
                 )
+        any_model_sharded = any_model_sharded or "model" in spec
         leaves.append(jax.device_put(x, NamedSharding(mesh, spec)))
+    if not any_model_sharded:
+        raise ValueError(
+            "TP layout error: mesh has model="
+            f"{mesh.shape['model']} but no parameter matched a model-sharded "
+            "layout entry — tensor parallelism would be silently disabled. "
+            "Check the layout table against the param paths."
+        )
     return jax.tree_util.tree_unflatten(treedef, leaves)
 
 

@@ -45,6 +45,9 @@ def make_diffusion_train_step(
       audio     : (B, S, 2) onset+amplitude channels
       word      : (B, F) int32 word ids
       prompt    : optional (B, prompt_dim) TMR embedding (h3d path)
+      style     : optional (B, style_dim) MotionCLIP embedding
+                  (use_motionclip path; train-time CFG dropout to zeros
+                  happens inside encode_cond)
     """
 
     def step(state: TrainState, batch: Dict[str, jax.Array]):
@@ -66,6 +69,7 @@ def make_diffusion_train_step(
                 batch["word"],
                 seed,
                 prompt=batch.get("prompt"),
+                style=batch.get("style"),
                 train=True,
                 cond_rng=k_cond,
                 method="encode_cond",

@@ -104,6 +104,21 @@ def load_checkpoint_raw(ckpt_path: str | Path) -> dict:
     )
 
 
+def load_model_variables(ckpt_path: str | Path) -> dict:
+    """Restore a checkpoint as a full flax variables dict for inference.
+
+    Returns ``{"params": ..., **model_state}`` so extra collections saved in
+    the train state (e.g. WavEncoder ``batch_stats`` when
+    ``audio_norm='batch'``) survive into eval/generation applies. Loading
+    only ``["params"]`` would make ``use_running_average=True`` applies fail
+    with a missing-collection error for BN-trained checkpoints."""
+    raw = load_checkpoint_raw(ckpt_path)
+    if "params" not in raw:
+        # bare params tree (converted reference checkpoints)
+        return {"params": raw}
+    return {"params": raw["params"], **(raw.get("model_state") or {})}
+
+
 def latest_checkpoint(ckpt_dir: str | Path) -> Optional[Path]:
     d = Path(ckpt_dir)
     if not d.exists():

@@ -170,3 +170,50 @@ class TestEnergyWordAlignment:
         assert len(iv) == 1 and iv[0].mark == ""  # all silence -> PAD
         iv = align_words_by_energy([], y, 16000)
         assert len(iv) == 1 and iv[0].mark == ""
+
+
+class TestAudioGoldens:
+    """Committed golden fixtures pin the numpy librosa-equivalents
+    (VERDICT r2 #9): librosa can't verify them in-env, but drift from the
+    frozen semantics can never land silently. Re-freeze intentionally with
+    scripts/make_audio_goldens.py after any verified change."""
+
+    def test_outputs_match_committed_goldens(self):
+        import sys
+        from pathlib import Path
+
+        import numpy as np
+
+        sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "scripts"))
+        from make_audio_goldens import OUT, compute_goldens
+
+        assert OUT.exists(), "run scripts/make_audio_goldens.py and commit the npz"
+        frozen = np.load(OUT)
+        fresh = compute_goldens()
+        assert set(frozen.files) == set(fresh)
+        for k in fresh:
+            np.testing.assert_array_equal(
+                fresh[k], frozen[k],
+                err_msg=f"audio featurization drifted from golden '{k}' — "
+                "if intentional, re-freeze with scripts/make_audio_goldens.py",
+            )
+
+    def test_click_train_onsets_detected(self):
+        """Sanity beyond pinning: the 4 Hz click train's onsets must be
+        found at ~0.25 s spacing (onset semantics, not just determinism)."""
+        import sys
+        from pathlib import Path
+
+        import numpy as np
+
+        sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "scripts"))
+        from make_audio_goldens import golden_inputs
+
+        from syntalker_tpu.data import audio as A
+
+        times = A.onset_detect_times(golden_inputs()["clicks"])
+        # every click (k*0.25 s) must have a detection within 64 ms; doubled
+        # peaks are fine (wait=0.03s*sr//hop == 0 at 16 kHz/512, as librosa)
+        for k in range(1, 8):  # k=0 sits at the envelope edge; librosa-default
+            # peak picking legitimately misses boundary onsets
+            assert np.min(np.abs(times - k * 0.25)) < 0.064, (k, times)

@@ -80,3 +80,59 @@ def test_load_checkpoint_raw_returns_device_arrays(tmp_path):
 
     out = gather(jnp.asarray([[0, 2]]))
     assert out.shape == (1, 2, 3)
+
+
+def test_load_model_variables_preserves_batch_stats(tmp_path):
+    """A BN-trained checkpoint (audio_norm='batch') must come back as full
+    variables — loading only ["params"] loses batch_stats and inference
+    applies with use_running_average=True then raise (ADVICE r2 medium).
+    The shipped CLIs load via load_model_variables for exactly this reason."""
+    import jax
+    from syntalker_tpu.models.denoiser import create_mdm, mdm_variables
+    from syntalker_tpu.train import state as ts
+
+    cfg = MDMConfig(
+        latent_total_dim=48, latent_dim=32, ff_size=64, num_layers=1,
+        num_heads=2, rope_heads=4, audio_feat_dim=16, word_feat_dim=16,
+        word_embed_dim=8, vocab_size=32, audio_norm="batch",
+    )
+    module, variables = create_mdm(cfg, jax.random.PRNGKey(0), frames=32)
+    assert "batch_stats" in variables
+
+    opt = ts.make_diffusion_optimizer()
+    state = ts.create_train_state(variables, opt, jax.random.PRNGKey(1))
+    path = ts.save_checkpoint(tmp_path / "ckpt", state, step=0)
+
+    loaded = ts.load_model_variables(path)
+    assert "batch_stats" in loaded, "batch_stats dropped on load"
+
+    # inference apply in eval mode must work (this raised before the fix)
+    out = module.apply(
+        mdm_variables(loaded),
+        jnp.zeros((1, 8, 48)),
+        jnp.zeros((1,), jnp.int32),
+        jnp.zeros((1, 533 * 32, 2)),
+        jnp.zeros((1, 32), jnp.int32),
+        jnp.zeros((1, 4, 48)),
+    )
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_load_model_variables_bare_params(tmp_path):
+    """Converted reference checkpoints are bare param trees — accept them."""
+    import jax
+    from syntalker_tpu.train import state as ts
+
+    cfg = MDMConfig(
+        latent_total_dim=48, latent_dim=32, ff_size=64, num_layers=1,
+        num_heads=2, rope_heads=4, audio_feat_dim=16, word_feat_dim=16,
+        word_embed_dim=8, vocab_size=32,
+    )
+    from syntalker_tpu.models.denoiser import create_mdm
+
+    _, params = create_mdm(cfg, jax.random.PRNGKey(0), frames=32)
+    opt = ts.make_diffusion_optimizer()
+    state = ts.create_train_state(params, opt, jax.random.PRNGKey(1))
+    path = ts.save_checkpoint(tmp_path / "ckpt", state, step=0)
+    loaded = ts.load_model_variables(path)
+    assert set(loaded) == {"params"}

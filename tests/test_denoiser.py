@@ -294,3 +294,131 @@ class TestBatchNormAudio:
         assert "params" not in params  # bare param tree, unchanged contract
         st = create_train_state(params, make_diffusion_optimizer(), jax.random.PRNGKey(0))
         assert st.model_state is None
+
+
+class TestMotionCLIPStyleConditioning:
+    """VERDICT r2 #5: the reference's use_motionclip path — a 512-d style
+    embedding concatenated per frame (ref denoiser.py:103-104,172-174) —
+    must be trainable and must actually steer generation."""
+
+    CFG = dict(
+        latent_total_dim=48, latent_dim=32, ff_size=64, num_layers=1,
+        num_heads=2, rope_heads=4, audio_feat_dim=16, word_feat_dim=16,
+        word_embed_dim=8, vocab_size=32, use_motionclip=True, style_dim=24,
+    )
+
+    def _model(self):
+        from syntalker_tpu.models.denoiser import MDMConfig, create_mdm
+
+        cfg = MDMConfig(**self.CFG)
+        return cfg, *create_mdm(cfg, jax.random.PRNGKey(0), frames=32)
+
+    def _args(self, cfg, b=2):
+        rng = jax.random.PRNGKey(1)
+        return dict(
+            x_t=jax.random.normal(jax.random.fold_in(rng, 0), (b, 8, 48)),
+            t=jnp.array([3, 9], jnp.int32),
+            audio=0.1 * jax.random.normal(jax.random.fold_in(rng, 1), (b, 533 * 32, 2)),
+            word=jnp.zeros((b, 32), jnp.int32),
+            seed=jax.random.normal(jax.random.fold_in(rng, 2), (b, 4, 48)),
+        )
+
+    def test_param_exists_and_style_changes_output(self):
+        cfg, module, params = self._model()
+        assert "input_process_style" in params
+        args = self._args(cfg)
+        s1 = jax.random.normal(jax.random.PRNGKey(5), (2, cfg.style_dim))
+        s2 = -s1
+        o1 = module.apply({"params": params}, **args, style=s1)
+        o2 = module.apply({"params": params}, **args, style=s2)
+        assert np.abs(np.asarray(o1) - np.asarray(o2)).max() > 1e-4
+
+    def test_uncond_style_equals_zero_style(self):
+        """force_mask semantics: the null style condition is the zero vector
+        (reference mask_cond zeroes the feature, not a learned null)."""
+        cfg, module, params = self._model()
+        args = self._args(cfg)
+        s = jax.random.normal(jax.random.PRNGKey(5), (2, cfg.style_dim))
+        o_masked = module.apply({"params": params}, **args, style=s, uncond_style=True)
+        o_zero = module.apply(
+            {"params": params}, **args, style=jnp.zeros_like(s)
+        )
+        np.testing.assert_allclose(np.asarray(o_masked), np.asarray(o_zero), atol=1e-6)
+        o_none = module.apply({"params": params}, **args)
+        np.testing.assert_allclose(np.asarray(o_none), np.asarray(o_zero), atol=1e-6)
+
+    def test_train_step_with_style_batch(self):
+        from syntalker_tpu.diffusion.schedule import make_diffusion
+        from syntalker_tpu.train.diffusion_trainer import (
+            DiffusionTrainConfig,
+            make_diffusion_train_step,
+        )
+        from syntalker_tpu.train.state import (
+            create_train_state,
+            make_diffusion_optimizer,
+        )
+
+        cfg, module, params = self._model()
+        opt = make_diffusion_optimizer()
+        state = create_train_state(params, opt, jax.random.PRNGKey(2))
+        b = 4
+        g = np.random.default_rng(0)
+        batch = {
+            "latent_in": g.normal(size=(b, 8, 48)).astype(np.float32),
+            "audio": g.normal(size=(b, 533 * 32, 2)).astype(np.float32),
+            "word": np.zeros((b, 32), np.int32),
+            "style": g.normal(size=(b, cfg.style_dim)).astype(np.float32),
+        }
+        step = jax.jit(
+            make_diffusion_train_step(module, make_diffusion(steps=8), opt,
+                                      DiffusionTrainConfig())
+        )
+        state2, metrics = step(state, batch)
+        assert np.isfinite(float(metrics["predict_x0_loss"]))
+        # the style projector receives gradient (it is on the compute path)
+        g0 = jax.tree.leaves(state.params["input_process_style"])[0]
+        g1 = jax.tree.leaves(state2.params["input_process_style"])[0]
+        assert np.abs(np.asarray(g1) - np.asarray(g0)).max() > 0
+
+    def test_motionclip_embedding_steers_sampling(self):
+        """End-to-end: a MotionCLIP-encoded style changes sample_windows
+        output (the reference's whole point for use_motionclip)."""
+        from syntalker_tpu import generation as G
+        from syntalker_tpu.diffusion.schedule import make_diffusion
+        from syntalker_tpu.models.denoiser import MDMConfig, create_mdm
+        from syntalker_tpu.models.motionclip import MotionCLIP, MotionCLIPConfig
+
+        mc_cfg = MotionCLIPConfig(
+            clip_dim=24, latent_dim=32, ff_size=64, num_layers=1, num_heads=2
+        )
+        mc = MotionCLIP(mc_cfg)
+        motion = jax.random.normal(jax.random.PRNGKey(3), (1, 16, 132))
+        mc_params = mc.init(jax.random.PRNGKey(4), motion)["params"]
+        style = mc.apply({"params": mc_params}, motion)
+        assert style.shape == (1, 24)
+
+        # sample_windows works in the full 1536-d latent space; keep the
+        # transformer tiny but the latent width real
+        cfg = MDMConfig(
+            latent_dim=32, ff_size=64, num_layers=1, num_heads=2, rope_heads=4,
+            audio_feat_dim=16, word_feat_dim=16, word_embed_dim=8,
+            vocab_size=32, use_motionclip=True, style_dim=24,
+        )
+        module, params = create_mdm(cfg, jax.random.PRNGKey(0), frames=128)
+        plan = G.plan_windows(150, pose_length=128)
+        b = 1
+        audio = np.zeros((b, 533 * plan.n_frames, 2), np.float32)
+        aw = jnp.asarray(G.window_audio(audio, plan))
+        ww = jnp.asarray(G.window_words(np.zeros((b, plan.n_frames), np.int32), plan))
+        seed0 = jnp.zeros((b, 4, cfg.latent_total_dim))
+        diffusion = make_diffusion(steps=4)
+
+        def sample(sty):
+            return G.sample_windows(
+                module, params, diffusion, plan, aw, ww, seed0,
+                jax.random.PRNGKey(7), sampler="ddim", style=sty,
+            )
+
+        with_style = np.asarray(sample(style))
+        without = np.asarray(sample(None))
+        assert np.abs(with_style - without).max() > 1e-4

@@ -1,0 +1,192 @@
+"""Two-process jax.distributed exercise (VERDICT r2 #8 / missing #3).
+
+Spawns 2 REAL OS processes on a localhost coordinator (CPU backend, 2
+virtual devices each -> a 4-device global data mesh), runs one
+data-parallel diffusion train step and one RVQ EMA train step across them,
+and asserts:
+
+- both processes converge to the SAME post-step param checksum (grad sync
+  via the psum XLA inserts across the process boundary — the DCN path),
+- the RVQ EMA codebook state is identical on both processes (the
+  cross-replica divergence risk the reference handled with NCCL buffer
+  all-reduce),
+- the 2-process result matches a single-process run on the same global
+  batch (data parallelism changes nothing numerically).
+
+This makes parallel/multihost.py an exercised path, not plumbing: the
+reference never ran beyond one host (train.py:304-317 hardcodes 127.0.0.1).
+
+The file doubles as the worker entrypoint (run with --worker by the test).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+TINY_MDM = dict(
+    latent_total_dim=48, latent_dim=32, ff_size=64, num_layers=2,
+    num_heads=2, rope_heads=4, audio_feat_dim=16, word_feat_dim=16,
+    word_embed_dim=8, vocab_size=32,
+)
+FRAMES = 32
+GLOBAL_BATCH = 4  # 4 devices x 1 (this host has 1 physical core; keep the
+                  # two concurrently-compiling workers as small as possible)
+
+
+def _build_and_step(mesh_devices):
+    """Deterministic tiny diffusion + RVQ steps over the given devices.
+    Returns (param_checksum, rvq_codebook, loss) after one step each."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from syntalker_tpu.diffusion.schedule import make_diffusion
+    from syntalker_tpu.models.denoiser import MDMConfig, create_mdm
+    from syntalker_tpu.models.rvqvae import RVQVAEConfig, create_rvqvae
+    from syntalker_tpu.ops.quantize import RVQConfig
+    from syntalker_tpu.train.diffusion_trainer import (
+        DiffusionTrainConfig,
+        make_diffusion_train_step,
+    )
+    from syntalker_tpu.train.rvq_trainer import make_rvq_train_step
+    from syntalker_tpu.train.state import (
+        create_train_state,
+        make_diffusion_optimizer,
+        make_rvq_optimizer,
+    )
+
+    mesh = Mesh(np.array(mesh_devices), axis_names=("data",))
+    data_sh = NamedSharding(mesh, P("data"))
+    repl_sh = NamedSharding(mesh, P())
+
+    def put_global(x, sharding):
+        """Build a GLOBAL array from host data: every process holds the full
+        batch (deterministic), each contributes its addressable shards."""
+        return jax.make_array_from_callback(
+            x.shape, sharding, lambda idx: x[idx]
+        )
+
+    rng = jax.random.PRNGKey(0)
+    cfg = MDMConfig(**TINY_MDM)
+    module, params = create_mdm(cfg, rng, frames=FRAMES)
+    opt = make_diffusion_optimizer()
+    state = create_train_state(params, opt, jax.random.PRNGKey(1))
+    state = jax.tree.map(lambda x: put_global(np.asarray(x), repl_sh), state)
+
+    g = np.random.default_rng(0)
+    batch_host = {
+        "latent_in": g.normal(size=(GLOBAL_BATCH, FRAMES // 4, 48)).astype(np.float32),
+        "audio": g.normal(size=(GLOBAL_BATCH, 533 * FRAMES, 2)).astype(np.float32),
+        "word": np.zeros((GLOBAL_BATCH, FRAMES), np.int32),
+    }
+    batch = jax.tree.map(lambda x: put_global(x, data_sh), batch_host)
+
+    diffusion = make_diffusion(steps=16)
+    step = jax.jit(
+        make_diffusion_train_step(module, diffusion, opt, DiffusionTrainConfig())
+    )
+    with mesh:
+        state2, metrics = step(state, batch)
+    checksum = float(
+        sum(jnp.sum(jnp.abs(x)) for x in jax.tree.leaves(state2.params))
+    )
+    loss = float(metrics["predict_x0_loss"])
+
+    # RVQ EMA step: codebook updates are global one-hot reductions
+    rcfg = RVQVAEConfig(
+        input_dim=12, width=32, output_emb_width=16, depth=1,
+        quantizer=RVQConfig(num_quantizers=2, nb_code=16, code_dim=16),
+    )
+    rmodule, rparams, rqstate = create_rvqvae(rcfg, jax.random.PRNGKey(2), example_len=16)
+    ropt = make_rvq_optimizer()
+    rstate = create_train_state(rparams, ropt, jax.random.PRNGKey(3), quantizer_state=rqstate)
+    rstate = jax.tree.map(lambda x: put_global(np.asarray(x), repl_sh), rstate)
+    pose_host = g.normal(size=(GLOBAL_BATCH, 16, 12)).astype(np.float32)
+    pose = put_global(pose_host, data_sh)
+    rstep = jax.jit(make_rvq_train_step(rmodule, ropt))
+    with mesh:
+        rstate2, _ = rstep(rstate, pose)
+    codebook = np.asarray(
+        jax.device_get(jax.tree.leaves(rstate2.quantizer_state)[0])
+    )
+    return checksum, codebook, loss
+
+
+def worker(rank: int, port: int, out_path: str):
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+    import jax
+
+    from syntalker_tpu.parallel.multihost import init_multihost, is_primary
+
+    info = init_multihost(
+        coordinator_address=f"127.0.0.1:{port}", num_processes=2, process_id=rank
+    )
+    assert info["process_count"] == 2
+    assert info["global_devices"] == 4, info
+    assert is_primary() == (rank == 0)
+
+    checksum, codebook, loss = _build_and_step(jax.devices())
+    Path(out_path).write_text(json.dumps({
+        "rank": rank,
+        "checksum": checksum,
+        "codebook_sum": float(codebook.sum()),
+        "codebook_sha": __import__("hashlib").sha256(codebook.tobytes()).hexdigest(),
+        "loss": loss,
+    }))
+    jax.distributed.shutdown()
+
+
+def test_two_process_data_parallel_step(tmp_path):
+    import socket
+
+    import numpy as np
+
+    with socket.socket() as s:  # free port
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)  # disarm the TPU tunnel
+    env["JAX_PLATFORMS"] = "cpu"
+    flags = [
+        f for f in env.get("XLA_FLAGS", "").split()
+        if "host_platform_device_count" not in f
+    ]
+    env["XLA_FLAGS"] = " ".join(flags + ["--xla_force_host_platform_device_count=2"])
+
+    procs, outs = [], []
+    for rank in (0, 1):
+        out = tmp_path / f"rank{rank}.json"
+        outs.append(out)
+        procs.append(subprocess.Popen(
+            [sys.executable, __file__, "--worker", str(rank), str(port), str(out)],
+            env=env, cwd=str(Path(__file__).resolve().parents[1]),
+        ))
+    rcs = [p.wait(timeout=600) for p in procs]
+    assert rcs == [0, 0], f"worker exit codes {rcs}"
+
+    r0, r1 = [json.loads(o.read_text()) for o in outs]
+    # 1. gradient sync: identical post-step params on both processes
+    np.testing.assert_allclose(r0["checksum"], r1["checksum"], rtol=1e-6)
+    assert r0["loss"] == r1["loss"]
+    # 2. EMA sync: bitwise-identical codebooks
+    assert r0["codebook_sha"] == r1["codebook_sha"]
+
+    # 3. equivalence with a single-process run on the same global batch
+    import jax
+
+    if jax.default_backend() == "cpu" and len(jax.devices()) >= 4:
+        checksum, codebook, loss = _build_and_step(jax.devices()[:4])
+        np.testing.assert_allclose(checksum, r0["checksum"], rtol=1e-5)
+        np.testing.assert_allclose(loss, r0["loss"], rtol=1e-5)
+        np.testing.assert_allclose(float(codebook.sum()), r0["codebook_sum"], rtol=1e-6)
+
+
+if __name__ == "__main__" and len(sys.argv) > 1 and sys.argv[1] == "--worker":
+    worker(int(sys.argv[2]), int(sys.argv[3]), sys.argv[4])

@@ -225,3 +225,81 @@ class TestRematAndPrefetch:
         pre = PrefetchLoader(Fake(), depth=2)
         assert [b["i"] for b in pre.epoch(0)] == [0, 1, 2]
         assert len(pre) == 3
+
+
+class TestUnrolledTPLayout:
+    def test_unrolled_paths_match_layout(self):
+        """scan_blocks=False params (block_0/qkv/kernel, rank 2) must map
+        onto the scan-stacked table with the layer dim dropped — TP must not
+        be silently disabled by the unrolled layout (ADVICE r2)."""
+        from syntalker_tpu.models.denoiser import MDMConfig, create_mdm
+        from syntalker_tpu.parallel.mesh import _path_str, param_specs
+
+        cfg = MDMConfig(
+            latent_total_dim=48, latent_dim=32, ff_size=64, num_layers=2,
+            num_heads=2, rope_heads=4, audio_feat_dim=16, word_feat_dim=16,
+            word_embed_dim=8, vocab_size=32, scan_blocks=False,
+        )
+        _, params = create_mdm(cfg, jax.random.PRNGKey(0), frames=32)
+        specs = param_specs(params)
+        flat_s = dict(
+            (_path_str(p), s)
+            for p, s in jax.tree_util.tree_flatten_with_path(
+                specs, is_leaf=lambda s: isinstance(s, P)
+            )[0]
+        )
+        assert flat_s["block_0/qkv/kernel"] == P(None, "model")
+        assert flat_s["block_1/fc2/kernel"] == P("model", None)
+        assert flat_s["block_1/fc1/bias"] == P("model")
+        assert flat_s["word_embedding"] == P()
+
+    def test_unrolled_tp_matches_replicated(self):
+        from syntalker_tpu.models.denoiser import MDMConfig, create_mdm
+
+        cfg = MDMConfig(
+            latent_total_dim=48, latent_dim=32, ff_size=64, num_layers=2,
+            num_heads=2, rope_heads=4, audio_feat_dim=16, word_feat_dim=16,
+            word_embed_dim=8, vocab_size=32, scan_blocks=False,
+        )
+        rng = jax.random.PRNGKey(0)
+        module, params = create_mdm(cfg, rng, frames=32)
+        b = 2
+        args = dict(
+            x_t=jax.random.normal(jax.random.fold_in(rng, 1), (b, 8, 48)),
+            t=jnp.array([3, 11], jnp.int32),
+            audio=0.1 * jax.random.normal(jax.random.fold_in(rng, 2), (b, 533 * 32, 2)),
+            word=jnp.zeros((b, 32), jnp.int32),
+            seed=jax.random.normal(jax.random.fold_in(rng, 3), (b, 4, 48)),
+        )
+        f = jax.jit(lambda p, a: module.apply({"params": p}, **a))
+        mesh1 = make_mesh(data=8, model=1)
+        with mesh1:
+            ref = np.asarray(f(shard_params(params, mesh1), replicate(args, mesh1)))
+        mesh2 = make_mesh(data=4, model=2)
+        with mesh2:
+            out = np.asarray(f(shard_params(params, mesh2), replicate(args, mesh2)))
+        np.testing.assert_allclose(out, ref, atol=5e-5, rtol=1e-5)
+
+    def test_no_model_sharded_param_raises(self):
+        """model>1 with a layout that matches nothing must fail loudly, not
+        silently replicate (the 'TP quietly disabled' hazard)."""
+        mesh = make_mesh(data=4, model=2)
+        params = {"enc": {"kernel": jnp.zeros((8, 8))}}
+        try:
+            shard_params(params, mesh, layout={"missing/kernel": P(None, "model")})
+        except ValueError as e:
+            assert "silently disabled" in str(e)
+        else:
+            raise AssertionError("expected ValueError when nothing matched")
+
+    def test_rank_mismatch_raises_descriptive(self):
+        """A 3-d scan-stacked spec matched against a 2-d param must raise the
+        descriptive rank error, not IndexError (ADVICE r2)."""
+        mesh = make_mesh(data=4, model=2)
+        params = {"w": {"kernel": jnp.zeros((8, 8))}}
+        try:
+            shard_params(params, mesh, layout={"w/kernel": P(None, None, "model")})
+        except ValueError as e:
+            assert "rank" in str(e)
+        else:
+            raise AssertionError("expected ValueError for rank mismatch")
