@@ -195,6 +195,37 @@ def main():
             "serving_motion_s_per_s": round(bs * (128 / 30.0) / loop_wall, 1),
             "mfu_denoise_serving": round(loop_flops / loop_wall / V5E_PEAK_FLOPS, 4),
         }
+
+        # ---- fused Pallas serving path (round 3) ------------------------
+        # One pallas_call per denoise step: 8 layers with bf16 weights
+        # streamed HBM->VMEM and the activation tile VMEM-resident across
+        # layers; 4 samples per grid step keep the token-parallel matmuls
+        # on a full 128-row MXU tile (the roofline sweep's best point). Dispatched as a 50-step host loop: the
+        # remote compiler handles the standalone kernel in seconds but
+        # stalls on the scan-embedded form (documented in
+        # docs/serving_roofline_round3.md); dispatches are async so the
+        # device stays saturated — measured 0.35 -> ~0.49 MFU.
+        from syntalker_tpu.ops.mdm_pallas import make_fused_denoise
+
+        fused = make_fused_denoise(mdm_cfg, mdm_params, tile_samples=4)
+        te0 = jnp.tile(t_embs[0][None], (bs, 1))
+        xf = fused(x0, te0, cond)
+        jax.block_until_ready(xf)  # warm
+        ft = []
+        for _ in range(5):
+            x = x0
+            t0 = time.perf_counter()
+            for _i in range(50):
+                x = fused(x, te0, cond)
+            jax.device_get(x[0, 0, 0])
+            ft.append(time.perf_counter() - t0)
+        fused_wall = statistics.median(ft)
+        serving.update({
+            "serving_ms_per_window_pallas": round(fused_wall / bs * 1e3, 3),
+            "mfu_denoise_serving_pallas": round(
+                loop_flops / fused_wall / V5E_PEAK_FLOPS, 4
+            ),
+        })
     except Exception as e:  # never lose the headline metric to the probe
         print(f"# serving MFU probe failed: {type(e).__name__}: {e}", file=sys.stderr)
 

@@ -178,7 +178,11 @@ def stage_torch(args):
     out = _out(args)
     data = np.load(out / "windows.npz")
     report = {}
-    rng = np.random.default_rng(7)
+    sd_off = getattr(args, "seed", 0)
+    rng = np.random.default_rng(7 + sd_off)
+
+    if getattr(args, "skip_train", False):
+        return _torch_generate_only(args, torch, out, data, sd_off)
 
     # ---- 1. RVQ-VAEs (rvq_beatx_train.py:328-352) ----
     from models.vq.model import RVQVAE
@@ -191,7 +195,7 @@ def stage_torch(args):
     t_rvq = time.time()
     for part in PARTS:
         w = torch.from_numpy(data[f"rvq_{part}"]).float()
-        torch.manual_seed(11)
+        torch.manual_seed(11 + sd_off)
         net = RVQVAE(qargs, input_width=w.shape[-1], activation="relu",
                      norm=None, **RVQ_KW)
         opt = torch.optim.AdamW(net.parameters(), lr=RVQ_LR, betas=(0.9, 0.99),
@@ -227,6 +231,7 @@ def stage_torch(args):
     scale = float(latent_in.std())
     latent_in = latent_in / scale
     report["latent_scale"] = scale
+    np.save(out / "torch_latents.npy", latent_in.numpy())  # for --stage jaxswap
     print(f"[torch] latent scale {scale:.3f}, latent_in {tuple(latent_in.shape)}")
 
     # ---- 3. MDM diffusion training (_g_training :341-356) ----
@@ -239,7 +244,7 @@ def stage_torch(args):
         word_f=256, t_fix_pre=False, use_motionclip=False,
         vqvae_squeeze_scale=4, data_path=_fabricate_vocab(out),
     )
-    torch.manual_seed(13)
+    torch.manual_seed(13 + sd_off)
     model = MDM(margs)
     diffusion = create_gaussian_diffusion()
     sampler = create_named_schedule_sampler("uniform", diffusion)
@@ -280,7 +285,7 @@ def stage_torch(args):
 
     aargs = types.SimpleNamespace(vae_layer=4, vae_length=240,
                                   vae_test_dim=330, vae_grow=[1, 1, 2, 1])
-    torch.manual_seed(17)
+    torch.manual_seed(17 + sd_off)
 
     class RefEvalVAE(torch.nn.Module):
         def __init__(self):
@@ -309,18 +314,64 @@ def stage_torch(args):
     torch.save(ae.state_dict(), out / "torch_eval_vae.pt")
     report["eval_vae"] = {"first_recon": first, "last_recon": last}
 
-    # ---- 5. windowed DDIM-50 generation (_g_test :359-541 + demo ddim) ----
+    # ---- 5. windowed generation (_g_test :359-541; demo ddim or the
+    #         shipped DDPM-1000 eval protocol) ----
+    sampler = getattr(args, "sampler", "ddim")
     gen_parts, gen_secs = _torch_generate(
-        torch, model, diffusion, rvqs, scale, data, margs
+        torch, model, diffusion, rvqs, scale, data, margs,
+        sampler=sampler, seed=sd_off,
     )
-    np.savez(out / "torch_gen.npz", **gen_parts)
+    sfx = "" if sampler == "ddim" else f"_{sampler}"
+    np.savez(out / f"torch_gen{sfx}.npz", **gen_parts)
     report["generation_seconds"] = gen_secs
-    (out / "torch_report.json").write_text(json.dumps(report, indent=1))
+    (out / f"torch_report{sfx}.json").write_text(json.dumps(report, indent=1))
     print(json.dumps(report, indent=1))
 
 
-def _torch_generate(torch, model, diffusion, rvqs, scale, data, margs):
-    """Reference windowed autoregressive sampling, DDIM-50 (demo protocol).
+def _torch_generate_only(args, torch, out, data, sd_off):
+    """Reload the saved torch checkpoints from --out and only re-generate —
+    e.g. a DDPM-1000 arm (--sampler ddpm --skip-train) over the models the
+    DDIM run trained, a paired comparison with zero re-training."""
+    import types as _types
+
+    from models.vq.model import RVQVAE
+    from models.denoiser import MDM
+
+    qargs = _types.SimpleNamespace(
+        num_quantizers=NUM_Q, shared_codebook=False,
+        quantize_dropout_prob=0.2, mu=0.99,
+    )
+    rvqs = {}
+    for part in PARTS:
+        w = data[f"rvq_{part}"]
+        net = RVQVAE(qargs, input_width=w.shape[-1], activation="relu",
+                     norm=None, **RVQ_KW)
+        net.load_state_dict(torch.load(out / f"torch_rvq_{part}.pt",
+                                       map_location="cpu"))
+        net.eval()
+        rvqs[part] = net
+    margs = _types.SimpleNamespace(
+        vqvae_type="rvqvae", audio_rep="onset+amplitude", audio_f=256,
+        word_f=256, t_fix_pre=False, use_motionclip=False,
+        vqvae_squeeze_scale=4, data_path=_fabricate_vocab(out),
+    )
+    model = MDM(margs)
+    model.load_state_dict(torch.load(out / "torch_mdm.pt", map_location="cpu"))
+    scale = json.loads((out / "torch_report.json").read_text())["latent_scale"]
+    sampler = getattr(args, "sampler", "ddim")
+    gen_parts, gen_secs = _torch_generate(
+        torch, model, None, rvqs, scale, data, margs,
+        sampler=sampler, seed=sd_off,
+    )
+    sfx = "" if sampler == "ddim" else f"_{sampler}"
+    np.savez(out / f"torch_gen{sfx}.npz", **gen_parts)
+    print(json.dumps({"generation_seconds": gen_secs, "sampler": sampler}))
+
+
+def _torch_generate(torch, model, diffusion, rvqs, scale, data, margs,
+                    sampler="ddim", seed=0):
+    """Reference windowed autoregressive sampling (demo ddim50 protocol, or
+    the trainer's shipped DDPM-1000 eval, diffusion_rvqvae_trainer.py:361).
 
     Mirrors _g_test (:419-474): GT-latent seed for window 0, previous
     window's last 4 latent frames after; returns decoded NORMALIZED part
@@ -329,7 +380,8 @@ def _torch_generate(torch, model, diffusion, rvqs, scale, data, margs):
     from diffusion.model_util import create_gaussian_diffusion
 
     model.eval()
-    ddim = create_gaussian_diffusion(use_ddim=True)  # ddim50 respacing
+    torch.manual_seed(31 + seed)  # the sampling-noise stream
+    ddim = create_gaussian_diffusion(use_ddim=(sampler == "ddim"))
     n = int(data["n_frames"]) - int(data["n_frames"]) % 8
     pre, squeeze, pose_len = 4, 4, 128
     round_l = pose_len - pre * squeeze
@@ -363,7 +415,9 @@ def _torch_generate(torch, model, diffusion, rvqs, scale, data, margs):
                 "id": None, "style_feature": None, "seed": seed,
                 "mask": (torch.zeros([1, 1, 1, 32]) < 1),
             }}
-            sample = ddim.ddim_sample_loop(
+            loop = (ddim.ddim_sample_loop if sampler == "ddim"
+                    else ddim.p_sample_loop)
+            sample = loop(
                 model, (1, 1536, 1, 32), clip_denoised=False,
                 model_kwargs=cond, skip_timesteps=0, init_image=None,
                 progress=False, dump_steps=None, noise=None, const_noise=False,
@@ -421,7 +475,40 @@ def stage_jax(args):
     data = np.load(out / "windows.npz")
     stats = load_pose_stats(MEAN_STD)
     report = {}
-    rng = np.random.default_rng(7)  # same batch-index stream as torch
+    sd_off = getattr(args, "seed", 0)
+    rng = np.random.default_rng(7 + sd_off)  # same batch-index stream as torch
+
+    if getattr(args, "skip_train", False):
+        # reload the trained stack and only re-generate (paired DDPM arm)
+        with open(out / "jax_ckpt.pkl", "rb") as f:
+            ck = pickle.load(f)
+        rvq_modules = {}
+        for part in PARTS:
+            w = data[f"rvq_{part}"]
+            cfg = RVQVAEConfig(
+                input_dim=w.shape[-1], width=RVQ_KW["width"],
+                output_emb_width=RVQ_KW["output_emb_width"],
+                down_t=RVQ_KW["down_t"], stride_t=RVQ_KW["stride_t"],
+                depth=RVQ_KW["depth"],
+                dilation_growth_rate=RVQ_KW["dilation_growth_rate"],
+                quantizer=RVQConfig(
+                    num_quantizers=NUM_Q, nb_code=RVQ_KW["nb_code"],
+                    code_dim=RVQ_KW["code_dim"],
+                ),
+            )
+            module, _, _ = create_rvqvae(cfg, jax.random.PRNGKey(0), example_len=64)
+            rvq_modules[part] = (
+                module,
+                jax.tree.map(jnp.asarray, ck["rvq_params"][part]),
+                jax.tree.map(jnp.asarray, ck["rvq_qstate"][part]),
+            )
+        mcfg = MDMConfig(vocab_size=VOCAB)
+        module, _ = create_mdm(mcfg, jax.random.PRNGKey(0), frames=128)
+        mdm_params = jax.tree.map(jnp.asarray, ck["mdm_params"])
+        scale = ck["latent_scale"]
+        _jax_generate(args, out, data, module, mdm_params, rvq_modules,
+                      scale, sd_off, report)
+        return
 
     # ---- 1. RVQ-VAEs ----
     rvq_modules = {}
@@ -439,11 +526,11 @@ def stage_jax(args):
                 code_dim=RVQ_KW["code_dim"],
             ),
         )
-        module, params, qstate = create_rvqvae(cfg, jax.random.PRNGKey(11), example_len=64)
+        module, params, qstate = create_rvqvae(cfg, jax.random.PRNGKey(11 + sd_off), example_len=64)
         opt = make_rvq_optimizer(
             lr=RVQ_LR, warmup_iters=10, milestones=(RVQ_ITERS + 1,)
         )
-        state = create_train_state(params, opt, jax.random.PRNGKey(11),
+        state = create_train_state(params, opt, jax.random.PRNGKey(11 + sd_off),
                                    quantizer_state=qstate)
         step = jax.jit(make_rvq_train_step(module, opt))
         first = last = None
@@ -471,10 +558,10 @@ def stage_jax(args):
 
     # ---- 3. MDM diffusion ----
     mcfg = MDMConfig(vocab_size=VOCAB)
-    module, params = create_mdm(mcfg, jax.random.PRNGKey(13), frames=128)
+    module, params = create_mdm(mcfg, jax.random.PRNGKey(13 + sd_off), frames=128)
     diffusion = make_diffusion(steps=1000)
     opt = make_diffusion_optimizer(lr=DIFF_LR)
-    state = create_train_state(params, opt, jax.random.PRNGKey(13))
+    state = create_train_state(params, opt, jax.random.PRNGKey(13 + sd_off))
     step = jax.jit(make_diffusion_train_step(module, diffusion, opt, DiffusionTrainConfig()))
     audio_w = data["diff_audio"]
     losses = []
@@ -496,7 +583,28 @@ def stage_jax(args):
                            "seconds": time.time() - t_diff,
                            "sec_per_step": (time.time() - t_diff) / diff_steps}
 
-    # ---- 4. windowed DDIM-50 generation over the whole clip ----
+    # ---- 4. persist the trained stack (enables paired --skip-train arms) --
+    with open(out / "jax_ckpt.pkl", "wb") as f:
+        pickle.dump({
+            "mdm_params": jax.device_get(state.params),
+            "rvq_params": {k: jax.device_get(v[1]) for k, v in rvq_modules.items()},
+            "rvq_qstate": {k: jax.device_get(v[2]) for k, v in rvq_modules.items()},
+            "latent_scale": scale,
+        }, f)
+
+    # ---- 5. windowed generation over the whole clip ----
+    _jax_generate(args, out, data, module, state.params, rvq_modules, scale,
+                  sd_off, report)
+
+
+def _jax_generate(args, out, data, module, mdm_params, rvq_modules, scale,
+                  sd_off, report):
+    import jax
+    import jax.numpy as jnp
+
+    from syntalker_tpu import generation as G
+    from syntalker_tpu.diffusion.schedule import make_diffusion
+
     n = int(data["n_frames"])
     plan = G.plan_windows(n)
     audio = data["audio"][None]
@@ -507,11 +615,15 @@ def stage_jax(args):
         [m.apply({"params": pp}, first_win[n_], method="map2latent")
          for n_, (m, pp, _q) in rvq_modules.items()], axis=2
     ) / scale
-    ddim = make_diffusion(steps=1000, timestep_respacing="ddim50")
+    sampler = getattr(args, "sampler", "ddim")
+    ddim = make_diffusion(
+        steps=1000, timestep_respacing="ddim50" if sampler == "ddim" else None
+    )
     t_gen = time.time()
     latents = G.sample_windows(
-        module, state.params, ddim, plan, aw, ww,
-        seed_lat[:, : plan.pre_frames], jax.random.PRNGKey(3), sampler="ddim",
+        module, mdm_params, ddim, plan, aw, ww,
+        seed_lat[:, : plan.pre_frames], jax.random.PRNGKey(3 + sd_off),
+        sampler=sampler,
     )
     dec_parts = {}
     for j, (n_, (m, pp, qs)) in enumerate(rvq_modules.items()):
@@ -520,9 +632,111 @@ def stage_jax(args):
             m.apply({"params": pp}, z, qs, method="latent2origin")
         )[0]
     report["generation_seconds"] = time.time() - t_gen
-    np.savez(out / "jax_gen.npz", **dec_parts)
-    (out / "jax_report.json").write_text(json.dumps(report, indent=1))
+    sfx = "" if sampler == "ddim" else f"_{sampler}"
+    np.savez(out / f"jax_gen{sfx}.npz", **dec_parts)
+    (out / f"jax_report{sfx}.json").write_text(json.dumps(report, indent=1))
     print(json.dumps(report, indent=1))
+
+
+def stage_jaxswap(args):
+    """L1Div-deficit diagnosis (VERDICT r2 #1c): train OUR MDM on the TORCH
+    stack's latents (same budget/seeds), generate with our windowed sampler,
+    decode through the TORCH RVQs — isolating the denoiser+sampler from the
+    latent distribution. If this arm's L1Div matches torch's, the measured
+    diversity gap is a property of the harder latents our better-reconstructing
+    RVQ produces (the documented target-entropy effect), not of our
+    denoiser/sampler."""
+    diff_steps = getattr(args, "diff_steps", DIFF_STEPS)
+    import jax
+    import jax.numpy as jnp
+
+    from syntalker_tpu import generation as G
+    from syntalker_tpu.diffusion.schedule import make_diffusion
+    from syntalker_tpu.models.denoiser import MDMConfig, create_mdm
+    from syntalker_tpu.train.diffusion_trainer import (
+        DiffusionTrainConfig,
+        make_diffusion_train_step,
+    )
+    from syntalker_tpu.train.state import (
+        create_train_state,
+        make_diffusion_optimizer,
+    )
+
+    out = _out(args)
+    data = np.load(out / "windows.npz")
+    sd_off = getattr(args, "seed", 0)
+    rng = np.random.default_rng(7 + sd_off)
+    latent_in = jnp.asarray(np.load(out / "torch_latents.npy"))
+    scale = json.loads((out / "torch_report.json").read_text())["latent_scale"]
+
+    mcfg = MDMConfig(vocab_size=VOCAB)
+    module, params = create_mdm(mcfg, jax.random.PRNGKey(13 + sd_off), frames=128)
+    diffusion = make_diffusion(steps=1000)
+    opt = make_diffusion_optimizer(lr=DIFF_LR)
+    state = create_train_state(params, opt, jax.random.PRNGKey(13 + sd_off))
+    step = jax.jit(make_diffusion_train_step(module, diffusion, opt,
+                                             DiffusionTrainConfig()))
+    audio_w = data["diff_audio"]
+    losses = []
+    for it in range(diff_steps):
+        idx = rng.integers(0, latent_in.shape[0], DIFF_BATCH)
+        batch = {
+            "latent_in": latent_in[jnp.asarray(idx)],
+            "audio": jnp.asarray(audio_w[idx]),
+            "word": jnp.zeros((DIFF_BATCH, 128), jnp.int32),
+        }
+        state, m = step(state, batch)
+        losses.append(float(m["predict_x0_loss"]))
+        if (it + 1) % 100 == 0:
+            print(f"[jaxswap mdm] {it+1}: loss {np.mean(losses[-25:]):.4f}")
+
+    # generate with OUR sampler; seed latents from the torch latent track
+    torch = _ref_setup()
+    import torch as _t  # noqa: F401 (via _ref_setup sys.path)
+    from models.vq.model import RVQVAE
+    import types as _types
+
+    qargs = _types.SimpleNamespace(
+        num_quantizers=NUM_Q, shared_codebook=False,
+        quantize_dropout_prob=0.2, mu=0.99,
+    )
+    rvqs = {}
+    for part in PARTS:
+        w = data[f"rvq_{part}"]
+        net = RVQVAE(qargs, input_width=w.shape[-1], activation="relu",
+                     norm=None, **RVQ_KW)
+        net.load_state_dict(torch.load(out / f"torch_rvq_{part}.pt",
+                                       map_location="cpu"))
+        net.eval()
+        rvqs[part] = net
+
+    n = int(data["n_frames"])
+    plan = G.plan_windows(n)
+    audio = data["audio"][None]
+    aw = jnp.asarray(G.window_audio(audio, plan))
+    ww = jnp.zeros((plan.num_windows, 1, 128), jnp.int32)
+    with torch.no_grad():
+        first_win = {p_: torch.from_numpy(
+            _full_feature(data, p_)[None, :128]).float() for p_ in PARTS}
+        seed_lat = torch.cat(
+            [rvqs[p_].map2latent(first_win[p_]) for p_ in PARTS], dim=2
+        ).numpy() / scale
+    ddim = make_diffusion(steps=1000, timestep_respacing="ddim50")
+    latents = G.sample_windows(
+        module, state.params, ddim, plan, aw, ww,
+        jnp.asarray(seed_lat[:, : plan.pre_frames]),
+        jax.random.PRNGKey(3 + sd_off), sampler="ddim",
+    )
+    lat_t = torch.from_numpy(np.asarray(latents)).float() * scale
+    parts = {}
+    with torch.no_grad():
+        for j, p_ in enumerate(PARTS):
+            z = lat_t[..., j * 512 : (j + 1) * 512].clone()
+            parts[p_] = rvqs[p_].latent2origin(z)[0].numpy()[0]
+    np.savez(out / "jax_gen_swap.npz", **parts)
+    (out / "jax_report_swap.json").write_text(json.dumps(
+        {"last_loss": float(np.mean(losses[-10:]))}, indent=1))
+    print("[jaxswap] done; loss", np.mean(losses[-10:]))
 
 
 # --------------------------------------------------------------------------
@@ -598,10 +812,19 @@ def stage_metrics(args):
 
     gt_rot6d = data["full_rot6d"]
     audio = data["audio"]
+    sampler = getattr(args, "sampler", "ddim")
+    sfx = "" if sampler == "ddim" else f"_{sampler}"
     res = {
-        "reference_torch": stack_metrics(np.load(out / "torch_gen.npz"), gt_rot6d, audio),
-        "syntalker_tpu": stack_metrics(np.load(out / "jax_gen.npz"), gt_rot6d, audio),
+        "sampler": sampler,
+        "reference_torch": stack_metrics(
+            np.load(out / f"torch_gen{sfx}.npz"), gt_rot6d, audio),
+        "syntalker_tpu": stack_metrics(
+            np.load(out / f"jax_gen{sfx}.npz"), gt_rot6d, audio),
     }
+    if (out / "jax_gen_swap.npz").exists() and sampler == "ddim":
+        # latent-swap diagnosis arm: our MDM on torch latents, torch decode
+        res["syntalker_mdm_on_torch_latents"] = stack_metrics(
+            np.load(out / "jax_gen_swap.npz"), gt_rot6d, audio)
     # GT anchor for the diversity/alignment scales (FGD's anchor is the
     # split-floor below)
     n = res["syntalker_tpu"]["frames"]
@@ -630,19 +853,31 @@ def stage_metrics(args):
         f = out / f"{k}.json"
         if f.exists():
             res[k] = json.loads(f.read_text())
-    (out / "report.json").write_text(json.dumps(res, indent=1))
+    (out / f"report{sfx}.json").write_text(json.dumps(res, indent=1))
     print(json.dumps(res, indent=1))
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="./outputs/parity")
-    ap.add_argument("--stage", choices=["data", "torch", "jax", "metrics", "all"],
+    ap.add_argument("--stage",
+                    choices=["data", "torch", "jax", "jaxswap", "metrics", "all"],
                     default="all")
     ap.add_argument("--diff-steps", type=int, default=DIFF_STEPS)
+    ap.add_argument("--seed", type=int, default=0,
+                    help="offsets every train/sample RNG in both stacks "
+                         "(multi-seed CI runs, VERDICT r2 #1)")
+    ap.add_argument("--sampler", choices=["ddim", "ddpm"], default="ddim",
+                    help="generation protocol: ddim=demo ddim50, ddpm=the "
+                         "reference's shipped eval (p_sample_loop, 1000 NFE; "
+                         "diffusion_rvqvae_trainer.py:361)")
+    ap.add_argument("--skip-train", action="store_true",
+                    help="reuse saved torch/jax checkpoints in --out and only "
+                         "re-generate + re-score (e.g. a DDPM arm over the "
+                         "DDIM run's models)")
     args = ap.parse_args()
     stages = {"data": stage_data, "torch": stage_torch, "jax": stage_jax,
-              "metrics": stage_metrics}
+              "jaxswap": stage_jaxswap, "metrics": stage_metrics}
     if args.stage == "all":
         for s in ("data", "torch", "jax", "metrics"):
             stages[s](args)

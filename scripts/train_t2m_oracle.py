@@ -49,6 +49,39 @@ BATCH = 32
 LR = 1e-4
 
 
+N_SYNTH = 12  # procedural clips mixed into the corpus (round 3: grows the
+# caption diversity well past the single demo clip; held-out includes
+# ENTIRE unseen synthetic clips, a stronger protocol than frame splits)
+SYNTH_HOLDOUT = 3
+
+
+def _synthetic_h3d_clips(smplx_model):
+    """h3d-623 feature tracks for procedural clips (data/synthetic.py):
+    beat-locked gestures at speaker-specific tempi -> much wider caption
+    variety (tempo/arm/height classes) than one real clip provides."""
+    import jax.numpy as jnp2
+
+    from syntalker_tpu.data.h3d import h3d_features_from_pose
+    from syntalker_tpu.data.synthetic import synth_clip
+    from syntalker_tpu.ops import smplx as S
+
+    tracks = []
+    for i in range(N_SYNTH):
+        speaker = (2, 4, 6, 8)[i % 4]
+        clip = synth_clip(speaker, i, 16.0 + 4.0 * (i % 3), seed=42)
+        n = clip.poses.shape[0]
+        contacts = np.asarray(S.foot_contacts(
+            smplx_model, jnp2.asarray(clip.poses),
+            jnp2.asarray(np.tile(clip.betas, (n, 1))),
+            jnp2.asarray(clip.trans), None,
+        ))
+        tracks.append(np.asarray(h3d_features_from_pose(
+            jnp2.asarray(clip.poses), jnp2.asarray(clip.betas),
+            jnp2.asarray(clip.trans), smplx_model, jnp2.asarray(contacts),
+        ), np.float32))
+    return tracks
+
+
 def build_dataset():
     from syntalker_tpu.data.cache import preprocess_clip
     from syntalker_tpu.data.captions import caption_batch
@@ -65,10 +98,21 @@ def build_dataset():
     n = h3d.shape[0]
     b = int(SPLIT_FRAC * n)
     starts = range(0, n - WINDOW + 1, STRIDE)
-    train = np.stack([h3d[i : i + WINDOW] for i in starts if i + WINDOW <= b])
-    test = np.stack([h3d[i : i + WINDOW] for i in starts if i >= b])
-    print(f"{CLIP}: {train.shape[0]} train / {test.shape[0]} held-out windows "
-          f"(temporal split at frame {b}/{n})")
+    train_w = [h3d[i : i + WINDOW] for i in starts if i + WINDOW <= b]
+    test_w = [h3d[i : i + WINDOW] for i in starts if i >= b]
+
+    synth = _synthetic_h3d_clips(smplx_model)
+    for k, track in enumerate(synth):
+        wins = [track[i : i + WINDOW]
+                for i in range(0, track.shape[0] - WINDOW + 1, STRIDE)]
+        if k < N_SYNTH - SYNTH_HOLDOUT:
+            train_w += wins
+        else:
+            test_w += wins  # whole unseen clips -> cross-clip holdout
+    train = np.stack(train_w)
+    test = np.stack(test_w)
+    print(f"{CLIP}+{N_SYNTH}synth: {train.shape[0]} train / {test.shape[0]} "
+          f"held-out windows ({SYNTH_HOLDOUT} full synthetic clips held out)")
 
     def captioned(wins):
         joints = np.asarray(recover_from_ric(jnp.asarray(wins)))

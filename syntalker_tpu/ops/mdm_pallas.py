@@ -17,8 +17,13 @@ collapses the whole block stack into ONE ``pallas_call``:
   :class:`syntalker_tpu.models.denoiser.TransformerBlock` (pre-LN, no qkv
   bias, f32 softmax).
 
-Batched serving keeps the XLA path (matmuls amortize the launch cost);
-this kernel targets the interactive single-clip case.
+Round 3 adds ``tile_samples``: the serving configuration (batch 256) tiles
+several samples into one grid step so the token-parallel matmuls run at
+(tile_samples*T, D) = full MXU row tiles instead of T=32 rows, while
+attention stays per-sample via static slices inside the tile. The
+activation tile lives in VMEM across all L layers — the elementwise/LN/
+residual traffic that bounds the XLA serving loop (measured ~0.35 MFU)
+never touches HBM between layers.
 """
 
 from __future__ import annotations
@@ -53,41 +58,67 @@ def _block_kernel(
     ln2_s_ref, ln2_b_ref,  # (1, 1, D)
     wfc1_ref, bfc1_ref,  # (1, D, F) bf16, (1, 1, F)
     wfc2_ref, bfc2_ref,  # (1, F, D) bf16, (1, 1, D)
-    out_ref,  # (1, T, D) f32 — revisited across the L grid steps
+    out_ref,  # (1, S, D) f32 — revisited across the L grid steps
     *,
     num_heads: int,
+    tile_samples: int,
 ):
     layer = pl.program_id(1)
 
-    # first layer of each sample consumes the block input; later layers the
+    # first layer of each tile consumes the block input; later layers the
     # carried activation
     @pl.when(layer == 0)
     def _():
         out_ref[...] = x_in_ref[...]
 
-    x = out_ref[0]  # (T, D) f32
-    t, d = x.shape
+    x = out_ref[0]  # (S, D) f32 with S = tile_samples * T tokens
+    s, d = x.shape
+    t = s // tile_samples  # per-sample sequence length
     hd = d // num_heads
 
     # --- attention ---------------------------------------------------------
     h = _layer_norm(x, ln1_s_ref[0, 0], ln1_b_ref[0, 0])
-    qkv = _dot(h.astype(jnp.bfloat16), wqkv_ref[0])  # (T, 3D) f32 accum
+    qkv = _dot(h.astype(jnp.bfloat16), wqkv_ref[0])  # (S, 3D) f32 accum
     scale = hd ** -0.5
-    head_outs = []
-    for head in range(num_heads):
-        q = qkv[:, head * hd : (head + 1) * hd]
-        k = qkv[:, d + head * hd : d + (head + 1) * hd]
-        v = qkv[:, 2 * d + head * hd : 2 * d + (head + 1) * hd]
-        scores = _dot(q * scale, k.T)  # (T, T)
-        probs = jax.nn.softmax(scores, axis=-1)
-        head_outs.append(_dot(probs, v))  # (T, hd)
-    attn_out = jnp.concatenate(head_outs, axis=-1)
+    if tile_samples == 1:
+        # latency path: per-head small matmuls on the single sample
+        head_outs = []
+        for head in range(num_heads):
+            q = qkv[:, head * hd : (head + 1) * hd]
+            k = qkv[:, d + head * hd : d + (head + 1) * hd]
+            v = qkv[:, 2 * d + head * hd : 2 * d + (head + 1) * hd]
+            scores = _dot(q * scale, k.T)  # (T, T)
+            probs = jax.nn.softmax(scores, axis=-1)
+            head_outs.append(_dot(probs, v))  # (T, hd)
+        attn_out = jnp.concatenate(head_outs, axis=-1)
+    else:
+        # serving path: ONE (S, S) score matmul per head with a
+        # block-diagonal mask (row i attends only inside its own sample).
+        # Cross-sample scores are wasted FLOPs (~tile_samples x the useful
+        # ones) but scores are <2% of layer FLOPs, the MXU tiles stay full,
+        # and the Mosaic program stays small (vs tile*heads unrolled tiny
+        # matmuls, which also ballooned kernel compile time).
+        rows = jax.lax.broadcasted_iota(jnp.int32, (s, s), 0) // t
+        cols = jax.lax.broadcasted_iota(jnp.int32, (s, s), 1) // t
+        neg = jnp.where(rows == cols, 0.0, -1e30).astype(F32)
+        head_outs = []
+        for head in range(num_heads):
+            q = qkv[:, head * hd : (head + 1) * hd]
+            k = qkv[:, d + head * hd : d + (head + 1) * hd]
+            v = qkv[:, 2 * d + head * hd : 2 * d + (head + 1) * hd]
+            scores = _dot(q * scale, k.T) + neg  # (S, S) masked
+            probs = jax.nn.softmax(scores, axis=-1)
+            head_outs.append(_dot(probs, v))  # (S, hd)
+        attn_out = jnp.concatenate(head_outs, axis=-1)
     x = x + _dot(attn_out.astype(jnp.bfloat16), wproj_ref[0]) + bproj_ref[0, 0]
 
     # --- mlp ---------------------------------------------------------------
     h = _layer_norm(x, ln2_s_ref[0, 0], ln2_b_ref[0, 0])
     h = _dot(h.astype(jnp.bfloat16), wfc1_ref[0]) + bfc1_ref[0, 0]
-    h = jax.nn.gelu(h, approximate=False)  # match the flax blocks' exact GELU
+    # tanh-approx GELU: the flax blocks use exact erf GELU, but erf/erfc has
+    # no Mosaic TPU lowering; max deviation ~1e-3 of activation scale, well
+    # inside the kernel's bf16-weight tolerance (parity test pins 2e-2)
+    h = jax.nn.gelu(h, approximate=True)
     x = x + _dot(h.astype(jnp.bfloat16), wfc2_ref[0]) + bfc2_ref[0, 0]
 
     out_ref[0] = x
@@ -117,17 +148,85 @@ def stack_block_weights(block_params: Dict) -> Dict[str, jax.Array]:
     }
 
 
-@functools.partial(jax.jit, static_argnames=("num_heads", "interpret"))
+def make_fused_denoise(cfg, params, *, tile_samples: int = 8, interpret: bool = False):
+    """Serving denoise with the Pallas block stack: numerics mirror
+    :meth:`MDM.denoise` (input_process → style/audio concat →
+    input_process2 → RoPE → block stack → output_process), with the 8-layer
+    stack as ONE pallas_call (bf16-stored weights, VMEM-resident
+    activations). Signature matches the sampler's needs:
+    ``denoise(x_t, t_emb, cond) -> x0_pred``, t_emb precomputed.
+
+    Built from a bare param tree (or full variables) of a stateless-config
+    MDM; the prompt/style concat paths are not fused (BEAT2 serving uses
+    neither).
+    """
+    from syntalker_tpu.models.denoiser import apply_rope, rope_angles
+
+    p = params["params"] if isinstance(params, dict) and "params" in params else params
+    w = stack_block_weights(p["blocks"]["block"])
+    io = {k: p[k] for k in ("input_process", "input_process2", "output_process")}
+
+    # weights are passed as ARGUMENTS to the jitted impl, never closed over:
+    # closure capture turns ~25 MB of parameters into inline HLO constants,
+    # which stalls the remote (tunnel) compiler indefinitely — measured: the
+    # same program compiles in ~1 s with weights as args.
+    @functools.partial(jax.jit, static_argnames=("num_heads", "rope_heads",
+                                                 "tile_samples", "interpret"))
+    def _impl(io, w, x_t, t_emb, seed_emb, at_feat, *, num_heads, rope_heads,
+              tile_samples, interpret):
+        b, n, _ = x_t.shape
+
+        def dense(name, x):
+            return x @ io[name]["kernel"] + io[name]["bias"]
+
+        x_emb = dense("input_process", x_t)
+        style = (seed_emb + t_emb)[:, None, :].repeat(n, axis=1)
+        xseq = jnp.concatenate([style, x_emb, at_feat[:, :n]], axis=-1)
+        xseq = dense("input_process2", xseq)
+        d = xseq.shape[-1]
+        hd = d // rope_heads
+        xh = xseq.reshape(b, n, rope_heads, hd)
+        xh = apply_rope(xh, rope_angles(n, hd)[:, None, :])
+        xseq = xh.reshape(b, n, d)
+        xseq = fused_block_stack(
+            xseq, w, num_heads=num_heads, tile_samples=tile_samples,
+            interpret=interpret,
+        )
+        return dense("output_process", xseq)
+
+    def denoise(x_t, t_emb, cond):
+        return _impl(
+            io, w, x_t, t_emb, cond.seed_emb, cond.at_feat,
+            num_heads=cfg.num_heads, rope_heads=cfg.rope_heads,
+            tile_samples=tile_samples, interpret=interpret,
+        )
+
+    return denoise
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_heads", "tile_samples", "interpret")
+)
 def fused_block_stack(
     x: jax.Array,  # (B, T, D) f32
     w: Dict[str, jax.Array],  # stacked (L, ...) weights from stack_block_weights
     *,
     num_heads: int = 4,
+    tile_samples: int = 1,
     interpret: bool = False,
 ) -> jax.Array:
+    """tile_samples=1: latency path (one sample's activation per grid step).
+    tile_samples=k: serving path — k samples share a grid step so the
+    token-parallel matmuls see k*T rows (k=8, T=32 -> 256 = 2 full MXU row
+    tiles); requires B % k == 0."""
     b, t, d = x.shape
     l = w["wqkv"].shape[0]
     f = w["wfc1"].shape[-1]
+    if b % tile_samples:
+        raise ValueError(f"batch {b} not divisible by tile_samples={tile_samples}")
+    n_tiles = b // tile_samples
+    s = tile_samples * t
+    xt = x.astype(F32).reshape(n_tiles, s, d)
 
     def wspec(shape):
         # per-layer weight block, indexed by the layer grid axis
@@ -137,10 +236,12 @@ def fused_block_stack(
         )
 
     out = pl.pallas_call(
-        functools.partial(_block_kernel, num_heads=num_heads),
-        grid=(b, l),
+        functools.partial(
+            _block_kernel, num_heads=num_heads, tile_samples=tile_samples
+        ),
+        grid=(n_tiles, l),
         in_specs=[
-            pl.BlockSpec((1, t, d), lambda bi, li: (bi, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s, d), lambda bi, li: (bi, 0, 0), memory_space=pltpu.VMEM),
             wspec((1, d)), wspec((1, d)),
             wspec((d, 3 * d)),
             wspec((d, d)), wspec((1, d)),
@@ -149,13 +250,13 @@ def fused_block_stack(
             wspec((f, d)), wspec((1, d)),
         ],
         out_specs=pl.BlockSpec(
-            (1, t, d), lambda bi, li: (bi, 0, 0), memory_space=pltpu.VMEM
+            (1, s, d), lambda bi, li: (bi, 0, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((b, t, d), F32),
+        out_shape=jax.ShapeDtypeStruct((n_tiles, s, d), F32),
         interpret=interpret,
     )(
-        x.astype(F32),
+        xt,
         w["ln1_s"], w["ln1_b"], w["wqkv"], w["wproj"], w["bproj"],
         w["ln2_s"], w["ln2_b"], w["wfc1"], w["bfc1"], w["wfc2"], w["bfc2"],
     )
-    return out
+    return out.reshape(b, t, d)

@@ -63,3 +63,53 @@ class TestFusedStack:
         full = np.asarray(fused_block_stack(x, w, interpret=True))
         one = np.asarray(fused_block_stack(x[1:2], w, interpret=True))
         np.testing.assert_allclose(full[1:2], one, atol=1e-5)
+
+
+class TestTiledServingStack:
+    def test_tile_samples_matches_per_sample(self, stack):
+        """tile_samples=4 must match tile_samples=1: attention is
+        block-diagonal-masked inside the tile (cross-sample probs are exact
+        zeros), so the only differences are accumulation-order drift in the
+        larger score/value matmuls amplified through the layer stack —
+        bounded well under the kernel's bf16-weight parity tolerance."""
+        _, _, block_params = stack
+        w = stack_block_weights(block_params)
+        x = jax.random.normal(jax.random.PRNGKey(3), (8, 32, CFG.latent_dim))
+        base = np.asarray(fused_block_stack(x, w, interpret=True))
+        tiled = np.asarray(
+            fused_block_stack(x, w, tile_samples=4, interpret=True)
+        )
+        np.testing.assert_allclose(tiled, base, atol=5e-3, rtol=5e-3)
+
+    def test_tile_divisibility_raises(self, stack):
+        _, _, block_params = stack
+        w = stack_block_weights(block_params)
+        x = jnp.zeros((6, 32, CFG.latent_dim))
+        with pytest.raises(ValueError, match="divisible"):
+            fused_block_stack(x, w, tile_samples=4, interpret=True)
+
+
+class TestFusedDenoise:
+    def test_matches_mdm_denoise(self, stack):
+        """The whole fused serving denoise (pre/post XLA + Pallas stack)
+        must match MDM.denoise on the same params."""
+        from syntalker_tpu.ops.mdm_pallas import make_fused_denoise
+
+        mdm, params, _ = stack
+        b = 4
+        rng = jax.random.PRNGKey(9)
+        x_t = jax.random.normal(jax.random.fold_in(rng, 0), (b, 8, CFG.latent_total_dim))  # frames=32 -> 8 latent frames
+        audio = 0.1 * jax.random.normal(jax.random.fold_in(rng, 1), (b, 533 * 32, 2))
+        word = jnp.zeros((b, 32), jnp.int32)
+        seed = jax.random.normal(jax.random.fold_in(rng, 2), (b, 4, CFG.latent_total_dim))
+        t = jnp.array([5, 9, 100, 3], jnp.int32)
+
+        cond = mdm.apply({"params": params}, audio, word, seed, method="encode_cond")
+        t_emb = mdm.apply({"params": params}, t, method="embed_timesteps")
+        ref = np.asarray(
+            mdm.apply({"params": params}, x_t, t, cond, t_emb=t_emb, method="denoise")
+        )
+        fused = make_fused_denoise(CFG, params, tile_samples=2, interpret=True)
+        out = np.asarray(fused(x_t, t_emb, cond))
+        err = np.abs(out - ref).max() / (np.abs(ref).max() + 1e-9)
+        assert err < 2e-2, f"relative error {err}"  # bf16 weights in kernel

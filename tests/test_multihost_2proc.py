@@ -90,12 +90,21 @@ def _build_and_step(mesh_devices):
     step = jax.jit(
         make_diffusion_train_step(module, diffusion, opt, DiffusionTrainConfig())
     )
+    def fetch(x):
+        """Global arrays span non-addressable devices under multi-process;
+        allgather makes them host-readable on every process."""
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+        return np.asarray(jax.device_get(x))
+
     with mesh:
         state2, metrics = step(state, batch)
-    checksum = float(
-        sum(jnp.sum(jnp.abs(x)) for x in jax.tree.leaves(state2.params))
-    )
-    loss = float(metrics["predict_x0_loss"])
+        checksum = float(fetch(
+            sum(jnp.sum(jnp.abs(x)) for x in jax.tree.leaves(state2.params))
+        ).ravel()[0])
+        loss = float(fetch(metrics["predict_x0_loss"]).ravel()[0])
 
     # RVQ EMA step: codebook updates are global one-hot reductions
     rcfg = RVQVAEConfig(
@@ -111,9 +120,9 @@ def _build_and_step(mesh_devices):
     rstep = jax.jit(make_rvq_train_step(rmodule, ropt))
     with mesh:
         rstate2, _ = rstep(rstate, pose)
-    codebook = np.asarray(
-        jax.device_get(jax.tree.leaves(rstate2.quantizer_state)[0])
-    )
+        codebook = fetch(jax.tree.leaves(rstate2.quantizer_state)[0])
+    if codebook.ndim > 3:  # allgather stacks a leading per-process axis
+        codebook = codebook[0]
     return checksum, codebook, loss
 
 
