@@ -127,7 +127,7 @@ def main():
     losses = []
     for ep in range(DIFF_EPOCHS):
         m = trainer.train_epoch(ep)
-        losses.append(m.get("predict_x0_loss", float("nan")))
+        losses.append(m.get("train/predict_x0_loss", float("nan")))
         print(f"epoch {ep}: {m}")
     diff_seconds = time.time() - t0
     steps = DIFF_EPOCHS * len(loader)

@@ -273,17 +273,30 @@ def align_words_by_energy(
     *,
     frame_length: int = 1024,
     silence_rel: float = 0.1,
+    min_pause_s: float = 0.15,
 ):
     """Energy-weighted word alignment: transcript words -> time intervals.
 
     Stand-in for the reference demo's MFA forced alignment (demo.py:76-78)
-    when no aligner is available. The uniform spreading it replaces assigned
-    words to silence; here words are placed over *voiced* audio only, each
-    word covering an equal share of the clip's cumulative RMS energy — a
-    crude monotonic aligner that respects pauses (speech rate ~ energy
-    mass). Returns textgrid-style Interval objects consumable by
-    :func:`syntalker_tpu.data.vocab.words_to_frame_ids` (silence gaps get
-    empty-mark intervals -> PAD, matching TextGrid semantics).
+    when no aligner is available. Each word owns an equal share of the
+    clip's cumulative *voiced time* (constant speaking rate while voiced;
+    pauses contribute nothing, so long silences push no words into them).
+    Words are emitted over voiced spans merged across dips shorter than
+    ``min_pause_s`` — internal stops and inter-syllable gaps stay covered
+    by the word, like real TextGrid word intervals, while true pauses
+    split it and resolve to PAD.
+
+    Candidate rules measured against ground-truth TextGrids on the
+    synthetic corpus (scripts/measure_alignment_quality.py,
+    docs/alignment_quality_round3.md), all-frame word-track accuracy:
+    this rule 0.63 > round-2 global equal-ENERGY shares 0.53 (loud
+    syllables eat multiple words) > reference-demo uniform spreading 0.45
+    (words assigned to silence); boundary snapping to silence gaps and
+    burst-count matching both scored worse (syllable gaps masquerade as
+    word gaps). Returns textgrid-style Interval objects consumable by
+    :func:`syntalker_tpu.data.vocab.words_to_frame_ids` (uncovered audio
+    resolves to the catch-all silence interval -> PAD, matching TextGrid
+    semantics).
     """
     from syntalker_tpu.data.textgrid import Interval
 
@@ -295,27 +308,28 @@ def align_words_by_energy(
     env = amplitude_envelope(np.abs(y).astype(np.float32), frame_length)
     hop_t = 1.0 / sr  # the envelope is per-sample (rolling max, stride 1)
     voiced = env > silence_rel * (env.max() + 1e-12)
-    energy = np.where(voiced, env, 0.0).astype(np.float64)
-    cum = np.cumsum(energy)
-    if cum[-1] == 0:  # no voiced audio at all
+    if not voiced.any():  # no voiced audio at all
         return [Interval(0.0, duration, "")]
 
-    # word w owns the cumulative-energy share [w/N, (w+1)/N); inside its
-    # span it is emitted only over voiced runs, so silence frames stay PAD
+    # word w owns the cumulative-voiced-time share [w/N, (w+1)/N)
+    cum = np.cumsum(voiced.astype(np.float64))
     bounds = np.searchsorted(cum, cum[-1] * np.arange(1, len(words)) / len(words))
     starts = np.concatenate([[0], bounds])
     ends = np.concatenate([bounds, [len(env)]])
 
-    # voiced runs as (sample_start, sample_end)
-    runs = []
+    # voiced runs, merged across sub-pause dips
     v = np.concatenate([[False], voiced, [False]])
     d = np.diff(v.astype(np.int8))
+    merged = []
     for r0, r1 in zip(np.flatnonzero(d == 1), np.flatnonzero(d == -1)):
-        runs.append((r0, r1))
+        if merged and r0 - merged[-1][1] < min_pause_s * sr:
+            merged[-1] = (merged[-1][0], r1)
+        else:
+            merged.append((r0, r1))
 
     out = []
-    for w, (s0, e0) in zip(words, zip(starts, ends)):
-        for r0, r1 in runs:
+    for w, s0, e0 in zip(words, starts, ends):
+        for r0, r1 in merged:
             lo, hi = max(s0, r0), min(e0, r1)
             if hi > lo:
                 out.append(Interval(lo * hop_t, hi * hop_t, w))

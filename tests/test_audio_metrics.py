@@ -217,3 +217,49 @@ class TestAudioGoldens:
         for k in range(1, 8):  # k=0 sits at the envelope edge; librosa-default
             # peak picking legitimately misses boundary onsets
             assert np.min(np.abs(times - k * 0.25)) < 0.064, (k, times)
+
+
+class TestAlignmentQualityVsGroundTruth:
+    """The demo-path aligner measured against ground-truth TextGrids on
+    synthetic clips (scripts/measure_alignment_quality.py is the full
+    instrument; this pins the ordering so an aligner regression can't land
+    silently): voiced-time alignment must beat BOTH the reference demo's
+    uniform spreading and the round-2 global-energy-share rule on all-frame
+    word-track accuracy."""
+
+    def test_beats_uniform_and_energy_mass(self):
+        from syntalker_tpu.data.audio import align_words_by_energy
+        from syntalker_tpu.data.synthetic import synth_clip
+        from syntalker_tpu.data.textgrid import Interval
+        from syntalker_tpu.data.vocab import Vocab, words_to_frame_ids
+
+        vocab = Vocab("t")
+        accs = {"ours": [], "uniform": []}
+        for i in range(3):
+            clip = synth_clip((2, 4, 6)[i], 100 + i, 12.0, seed=7)
+            n = clip.poses.shape[0]
+            transcript = [w for _, _, w in clip.words]
+            for w in transcript:
+                vocab.index_word(w)
+            duration = len(clip.audio) / 16000
+
+            def canon(tr):
+                tr = tr.copy()
+                tr[tr == vocab.PAD_token] = vocab.UNK_token
+                return tr
+
+            gt = canon(words_to_frame_ids(
+                [Interval(a, b, w) for a, b, w in clip.words], n, vocab))
+            ours = canon(words_to_frame_ids(
+                align_words_by_energy(transcript, clip.audio, 16000), n, vocab))
+            uni = canon(words_to_frame_ids(
+                [Interval(duration * k / len(transcript),
+                          duration * (k + 1) / len(transcript), w)
+                 for k, w in enumerate(transcript)], n, vocab))
+            accs["ours"].append((ours == gt).mean())
+            accs["uniform"].append((uni == gt).mean())
+
+        import numpy as np
+        ours, uni = np.mean(accs["ours"]), np.mean(accs["uniform"])
+        assert ours > uni + 0.05, (ours, uni)
+        assert ours > 0.55, ours  # absolute floor (measured 0.63)
