@@ -21,7 +21,7 @@ from syntalker_tpu.data.cache import ClipConfig
 from syntalker_tpu.data.stats import identity_pose_stats, load_pose_stats
 from syntalker_tpu.diffusion.schedule import make_diffusion
 from syntalker_tpu.eval.harness import GestureEvaluator
-from syntalker_tpu.models.denoiser import create_mdm
+from syntalker_tpu.models.denoiser import create_mdm, migrate_qkv_kernels
 from syntalker_tpu.models.eval_vae import EvalVAEConfig, VAESKConv
 from syntalker_tpu.train import state as ts
 from syntalker_tpu.train.loop import load_rvq_stack
@@ -39,6 +39,9 @@ def build_evaluator(
     mdm, mdm_params = create_mdm(cfg.mdm, rng, frames=cfg.data.pose_length)
     if cfg.test_ckpt:
         mdm_params = ts.load_model_variables(cfg.test_ckpt)
+        # pre-round-3 checkpoints store flat qkv kernels; reshape to the
+        # head-aligned layout (numerics unchanged)
+        mdm_params = migrate_qkv_kernels(mdm_params, cfg.mdm.num_heads)
 
     rvq = load_rvq_stack(cfg, jax.random.fold_in(rng, 99))
     diffusion = make_diffusion(

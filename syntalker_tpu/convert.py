@@ -145,7 +145,7 @@ def _fold_bn(conv_w, conv_b, bn_w, bn_b, bn_mean, bn_var, eps=1e-5):
     return conv_w * s[None, None, :], conv_b * s + (bn_b - bn_mean * s)
 
 
-def convert_mdm(state_dict: Dict, num_layers: int = 8) -> Dict:
+def convert_mdm(state_dict: Dict, num_layers: int = 8, num_heads: int = 4) -> Dict:
     """Reference MDM (models/denoiser.py) state_dict -> our flax params.
 
     Exact mapping for every submodule; the audio encoder's BatchNorm running
@@ -234,7 +234,13 @@ def convert_mdm(state_dict: Dict, num_layers: int = 8) -> Dict:
             "scale": stacked(lambda i: sd[f"{blk}.{i}.norm1.weight"]),
             "bias": stacked(lambda i: sd[f"{blk}.{i}.norm1.bias"]),
         },
-        "qkv": {"kernel": stacked(lambda i: _linear(sd[f"{blk}.{i}.attn.qkv.weight"]))},
+        # torch's flat (C, 3C) in_proj is part-major then head-major in its
+        # columns; C-order reshape onto the head-aligned (C, 3, H, hd)
+        # kernel layout is therefore exact (see TransformerBlock docstring)
+        "qkv": {"kernel": stacked(
+            lambda i: _linear(sd[f"{blk}.{i}.attn.qkv.weight"])
+        ).reshape(num_layers, -1, 3, num_heads,
+                  sd[f"{blk}.0.attn.qkv.weight"].shape[1] // num_heads)},
         "proj": {
             "kernel": stacked(lambda i: _linear(sd[f"{blk}.{i}.attn.proj.weight"])),
             "bias": stacked(lambda i: sd[f"{blk}.{i}.attn.proj.bias"]),

@@ -81,6 +81,12 @@ class MDMConfig:
     # compile the block stack as one lax.scan over stacked layer params —
     # ~num_layers× smaller HLO (and compile time) with identical math
     scan_blocks: bool = True
+    # WavEncoder conv compute dtype. The strided-conv pyramid over 68k raw
+    # samples dominates the diffusion train step (BASELINE.md: MFU 0.134,
+    # conv-pipeline-bound); bf16 runs those convs at the MXU's native rate.
+    # Params stay f32 and every GroupNorm/BatchNorm computes its statistics
+    # in f32, so only the conv arithmetic is reduced-precision.
+    audio_dtype: jnp.dtype = jnp.float32
     # wav-encoder normalization: 'group' (training default — stateless),
     # 'batch' (reference-exact BatchNorm; batch_stats collection threads
     # through TrainState.model_state, and GSPMD makes the statistics
@@ -125,8 +131,12 @@ class AudioBasicBlock(nn.Module):
     pad: int
     downsample: bool
     norm: str = "group"
+    dtype: jnp.dtype = jnp.float32
 
     def _norm(self, x, name, train):
+        # normalization statistics always in f32 (bf16 mean/var over 13k+
+        # timesteps loses precision); the convs around it run in self.dtype
+        x = x.astype(jnp.float32)
         if self.norm == "none":
             return x
         if self.norm == "batch":
@@ -149,11 +159,15 @@ class AudioBasicBlock(nn.Module):
             kernel_size=(15,),
             strides=(self.stride,),
             padding=((self.pad, self.pad),),
+            dtype=self.dtype,
             name="conv1",
         )(x)
         h = self._norm(h, "norm1", train)
         h = nn.leaky_relu(h, 0.01)
-        h = _Conv(self.channels, kernel_size=(15,), padding=((7, 7),), name="conv2")(h)
+        h = _Conv(
+            self.channels, kernel_size=(15,), padding=((7, 7),),
+            dtype=self.dtype, name="conv2",
+        )(h)
         h = self._norm(h, "norm2", train)
         if self.downsample:
             sc = _Conv(
@@ -161,11 +175,12 @@ class AudioBasicBlock(nn.Module):
                 kernel_size=(15,),
                 strides=(self.stride,),
                 padding=((self.pad, self.pad),),
+                dtype=self.dtype,
                 name="down_conv",
             )(x)
             sc = self._norm(sc, "down_norm", train)
         else:
-            sc = x
+            sc = x.astype(jnp.float32)
         return nn.leaky_relu(h + sc, 0.01)
 
 
@@ -178,6 +193,7 @@ class WavEncoder(nn.Module):
 
     out_dim: int = 256
     norm: str = "group"
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, wav: jax.Array, *, train: bool = False) -> jax.Array:
@@ -195,9 +211,10 @@ class WavEncoder(nn.Module):
         ]
         h = wav
         for i, (c, s, p, down) in enumerate(plan):
-            h = AudioBasicBlock(c, s, p, down, norm=self.norm, name=f"block_{i}")(
-                h, train=train
-            )
+            h = AudioBasicBlock(
+                c, s, p, down, norm=self.norm, dtype=self.dtype,
+                name=f"block_{i}",
+            )(h, train=train)
         return h  # (B, F, out_dim)
 
 
@@ -229,7 +246,18 @@ def apply_rope(x: jax.Array, angles: jax.Array) -> jax.Array:
 
 class TransformerBlock(nn.Module):
     """Pre-LN ViT block (models/timm_transformer/transformer.py:154-199):
-    fused-qkv attention (no bias), GELU MLP, per-sample drop-path."""
+    fused-qkv attention (no bias), GELU MLP, per-sample drop-path.
+
+    The fused qkv kernel is stored head-aligned as (C, 3, H, head_dim)
+    (``nn.DenseGeneral``) rather than the torch-style flat (C, 3C): under
+    tensor parallelism the head axis shards cleanly over ``model`` so each
+    device computes whole heads locally — the flat layout's contiguous
+    3C shard cuts mid-k/v and forced GSPMD to all-gather the (B, T, 3C)
+    qkv activation every block (measured: scripts/audit_tp_collectives.py).
+    Numerics and init are bitwise-identical to the flat kernel (DenseGeneral
+    inits on the flattened 2-D shape; C-order reshape preserves the
+    part-major column order); legacy checkpoints migrate by reshape
+    (:func:`migrate_qkv_kernels`)."""
 
     dim: int
     num_heads: int
@@ -249,8 +277,13 @@ class TransformerBlock(nn.Module):
     def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
         b, n, c = x.shape
         h = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
-        qkv = _Dense(3 * c, use_bias=False, dtype=self.dtype, name="qkv")(h)
-        qkv = qkv.reshape(b, n, 3, self.num_heads, c // self.num_heads)
+        qkv = nn.DenseGeneral(
+            (3, self.num_heads, c // self.num_heads),
+            use_bias=False,
+            dtype=self.dtype,
+            kernel_init=_TORCH_KERNEL_INIT,
+            name="qkv",
+        )(h)  # (B, N, 3, H, head_dim)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
         q = jnp.swapaxes(q, 1, 2)  # (B, H, N, D)
         k = jnp.swapaxes(k, 1, 2)
@@ -327,9 +360,10 @@ class MDM(nn.Module):
         cond_rng: Optional[jax.Array] = None,
     ) -> Conditioning:
         c = self.cfg
-        audio_feat = WavEncoder(c.audio_feat_dim, norm=c.audio_norm, name="wav_encoder")(
-            audio, train=train
-        )
+        audio_feat = WavEncoder(
+            c.audio_feat_dim, norm=c.audio_norm, dtype=c.audio_dtype,
+            name="wav_encoder",
+        )(audio, train=train)
 
         word_table = self.param(
             "word_embedding",
@@ -557,6 +591,34 @@ def create_mdm(cfg: MDMConfig, rng: jax.Array, *, frames: int = 128):
     if set(params.keys()) == {"params"}:
         params = params["params"]
     return module, params
+
+
+def migrate_qkv_kernels(tree, num_heads: int):
+    """Reshape legacy flat qkv kernels to the head-aligned layout in place.
+
+    Pre-round-3 checkpoints store the fused attention kernel flat —
+    ``(C, 3C)`` unrolled or ``(L, C, 3C)`` scan-stacked. The head-aligned
+    layout is the same memory in C-order, so migration is a pure reshape to
+    ``(..., C, 3, H, C // H)``; the contraction (and therefore every
+    checkpointed model's numerics) is unchanged. Already-migrated trees pass
+    through untouched, so load paths can call this unconditionally.
+    """
+
+    def walk(node):
+        if not isinstance(node, dict):
+            return node
+        out = {}
+        for k, v in node.items():
+            if k == "qkv" and isinstance(v, dict) and "kernel" in v:
+                kern = v["kernel"]
+                if kern.ndim in (2, 3) and kern.shape[-1] == 3 * kern.shape[-2]:
+                    c = kern.shape[-2]
+                    new_shape = kern.shape[:-1] + (3, num_heads, c // num_heads)
+                    v = dict(v, kernel=kern.reshape(new_shape))
+            out[k] = walk(v) if isinstance(v, dict) else v
+        return out
+
+    return walk(tree)
 
 
 def apply_word_embedding(params: dict, matrix) -> dict:

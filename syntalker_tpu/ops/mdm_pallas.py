@@ -133,10 +133,16 @@ def stack_block_weights(block_params: Dict) -> Dict[str, jax.Array]:
         a = jnp.asarray(a, F32)
         return a[:, None, :]
 
+    # head-aligned (L, C, 3, H, hd) qkv kernel -> the kernel's flat (L, C, 3C)
+    # view (C-order flatten = the part-major column layout _block_kernel
+    # slices); legacy flat kernels pass through
+    wqkv = jnp.asarray(p["qkv"]["kernel"], jnp.bfloat16)
+    wqkv = wqkv.reshape(wqkv.shape[0], wqkv.shape[1], -1)
+
     return {
         "ln1_s": vec(p["norm1"]["scale"]),
         "ln1_b": vec(p["norm1"]["bias"]),
-        "wqkv": jnp.asarray(p["qkv"]["kernel"], jnp.bfloat16),
+        "wqkv": wqkv,
         "wproj": jnp.asarray(p["proj"]["kernel"], jnp.bfloat16),
         "bproj": vec(p["proj"]["bias"]),
         "ln2_s": vec(p["norm2"]["scale"]),

@@ -72,12 +72,12 @@ def replicate(tree: Any, mesh: Mesh) -> Any:
 # (Megatron-style: the attention and MLP each are a column-parallel matmul
 # followed by a row-parallel one; the dominant collective per block is the
 # psum XLA inserts after proj/fc2 — one all-reduce per block over ICI.
-# Caveat: the fused qkv kernel's output dim is qkv-major (q|k|v blocks of C
-# each, matching the torch in_proj layout convert.py maps), so a contiguous
-# shard of 3C does not align with the (3, H, head_dim) reshape boundaries
-# and GSPMD inserts an extra per-block reshard of the qkv activation.
-# Numerics are tested correct; head-aligned separate q/k/v kernels would
-# remove that reshard at the cost of breaking checkpoint-layout parity).
+# The fused qkv kernel is stored head-aligned, (C, 3, H, head_dim), so
+# sharding its H axis gives every device whole heads: q/k/v slicing,
+# attention, and the head-major reshape back to C all stay local, and the
+# round-2 per-block all-gather of the (B, T, 3C) qkv activation (the flat
+# part-major kernel's shard cut fell mid-k — measured by
+# scripts/audit_tp_collectives.py) is gone.
 #
 # Keys are path *suffixes* matched against the flattened param path; the
 # leading ``blocks/block`` scan axis (layer dim L) is position 0 of every
@@ -92,9 +92,10 @@ def replicate(tree: Any, mesh: Mesh) -> Any:
 # name heuristic (VERDICT Weak #6): the layout is now a reviewable table,
 # and new parameters default to replicated instead of silently sharded.
 MDM_TP_LAYOUT: dict[str, P] = {
-    # attention: qkv column-parallel (heads split over 'model'), proj
-    # row-parallel (contracting dim sharded -> psum into replicated out)
-    "blocks/block/qkv/kernel": P(None, None, "model"),
+    # attention: qkv column-parallel (the H axis of the head-aligned
+    # (L, C, 3, H, hd) kernel splits over 'model'), proj row-parallel
+    # (contracting dim sharded -> psum into replicated out)
+    "blocks/block/qkv/kernel": P(None, None, None, "model", None),
     "blocks/block/proj/kernel": P(None, "model", None),
     # MLP: fc1 column-parallel, fc2 row-parallel
     "blocks/block/fc1/kernel": P(None, None, "model"),

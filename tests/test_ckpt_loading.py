@@ -136,3 +136,42 @@ def test_load_model_variables_bare_params(tmp_path):
     path = ts.save_checkpoint(tmp_path / "ckpt", state, step=0)
     loaded = ts.load_model_variables(path)
     assert set(loaded) == {"params"}
+
+
+def test_migrate_legacy_flat_qkv_kernels():
+    """Pre-round-3 checkpoints stored the fused qkv kernel flat, (L, C, 3C);
+    the head-aligned layout is the same memory in C-order, so migration is a
+    pure reshape and the denoiser output must be bitwise-unchanged."""
+    import jax
+    import jax.numpy as jnp
+
+    from syntalker_tpu.models.denoiser import create_mdm, migrate_qkv_kernels
+
+    cfg = MDMConfig(
+        latent_total_dim=48, latent_dim=32, ff_size=64, num_layers=2,
+        num_heads=2, rope_heads=4, audio_feat_dim=16, word_feat_dim=16,
+        word_embed_dim=8, vocab_size=32,
+    )
+    module, params = create_mdm(cfg, jax.random.PRNGKey(0), frames=32)
+    kern = params["blocks"]["block"]["qkv"]["kernel"]
+    assert kern.shape == (2, 32, 3, 2, 16)
+
+    # forge a legacy checkpoint tree with the flat layout
+    legacy = jax.tree.map(lambda x: x, params)
+    legacy["blocks"]["block"]["qkv"]["kernel"] = kern.reshape(2, 32, 96)
+
+    migrated = migrate_qkv_kernels(legacy, cfg.num_heads)
+    assert migrated["blocks"]["block"]["qkv"]["kernel"].shape == kern.shape
+    assert bool(jnp.all(migrated["blocks"]["block"]["qkv"]["kernel"] == kern))
+    # idempotent on already-migrated trees, and works wrapped in variables
+    again = migrate_qkv_kernels({"params": migrated}, cfg.num_heads)
+    assert again["params"]["blocks"]["block"]["qkv"]["kernel"].shape == kern.shape
+
+    args = (
+        jnp.ones((1, 8, 48)), jnp.zeros((1,), jnp.int32),
+        jnp.zeros((1, 533 * 32, 2)), jnp.zeros((1, 32), jnp.int32),
+        jnp.zeros((1, 4, 48)),
+    )
+    a = module.apply({"params": params}, *args)
+    b = module.apply({"params": migrated}, *args)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -211,7 +211,9 @@ class TestInitScale:
                 checks[name] = np.asarray(x)
         for name, x in checks.items():
             assert x is not None, name
-            fan_in = x.shape[-2]
+            # the head-aligned qkv kernel is (L, C, 3, H, hd): its fan-in is
+            # the contracting C axis, not shape[-2]
+            fan_in = x.shape[1] if x.ndim > 3 else x.shape[-2]
             expect_sd = (1.0 / (3.0 * fan_in)) ** 0.5
             sd = float(x.std())
             assert 0.8 * expect_sd < sd < 1.2 * expect_sd, (name, sd, expect_sd)

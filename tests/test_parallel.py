@@ -129,7 +129,7 @@ class TestExplicitTPLayout:
         )
         assert flat_s["word_embedding"] == P()
         assert flat_s["output_process/kernel"] == P()
-        assert flat_s["blocks/block/qkv/kernel"] == P(None, None, "model")
+        assert flat_s["blocks/block/qkv/kernel"] == P(None, None, None, "model", None)
         assert flat_s["blocks/block/fc2/kernel"] == P(None, "model", None)
 
     def test_bad_layout_raises(self):
@@ -229,7 +229,8 @@ class TestRematAndPrefetch:
 
 class TestUnrolledTPLayout:
     def test_unrolled_paths_match_layout(self):
-        """scan_blocks=False params (block_0/qkv/kernel, rank 2) must map
+        """scan_blocks=False params (block_0/qkv/kernel, one rank lower than
+        the scan-stacked layout) must map
         onto the scan-stacked table with the layer dim dropped — TP must not
         be silently disabled by the unrolled layout (ADVICE r2)."""
         from syntalker_tpu.models.denoiser import MDMConfig, create_mdm
@@ -248,7 +249,7 @@ class TestUnrolledTPLayout:
                 specs, is_leaf=lambda s: isinstance(s, P)
             )[0]
         )
-        assert flat_s["block_0/qkv/kernel"] == P(None, "model")
+        assert flat_s["block_0/qkv/kernel"] == P(None, None, "model", None)
         assert flat_s["block_1/fc2/kernel"] == P("model", None)
         assert flat_s["block_1/fc1/bias"] == P("model")
         assert flat_s["word_embedding"] == P()
