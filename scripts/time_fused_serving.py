@@ -1,0 +1,89 @@
+"""Focused timing of the fused Pallas serving denoise (batch 256).
+
+Times the 50-NFE host-dispatched loop for several tile_samples values and
+prints ms/window + MFU per configuration. Used to iterate on the kernel
+without paying bench.py's full e2e path.
+
+Run: python scripts/time_fused_serving.py [tile ...]
+"""
+
+from __future__ import annotations
+
+import pathlib
+import statistics
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+V5E_PEAK_FLOPS = 197e12
+
+
+def main(tiles):
+    import jax
+    import jax.numpy as jnp
+
+    cache_dir = pathlib.Path(__file__).parents[1] / ".jax_cache"
+    cache_dir.mkdir(exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", str(cache_dir))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from syntalker_tpu.models.denoiser import Conditioning, MDMConfig, create_mdm
+    from syntalker_tpu.ops.mdm_pallas import make_fused_denoise
+
+    cfg = MDMConfig()
+    rng = jax.random.PRNGKey(0)
+    _, params = create_mdm(cfg, rng, frames=128)
+
+    bs, t = 256, 32
+    cond = Conditioning(
+        at_feat=jnp.asarray(
+            np.random.default_rng(0).normal(size=(bs, t, cfg.audio_feat_dim)),
+            jnp.float32,
+        ),
+        seed_emb=jnp.asarray(
+            np.random.default_rng(1).normal(size=(bs, cfg.latent_dim)), jnp.float32
+        ),
+    )
+    x0 = jax.random.normal(jax.random.fold_in(rng, 1), (bs, t, cfg.latent_total_dim))
+    te0 = jax.random.normal(jax.random.fold_in(rng, 2), (bs, cfg.latent_dim))
+
+    # per-step FLOPs (matches bench.py mdm_denoise_flops semantics: matmuls)
+    d, ff, L = cfg.latent_dim, cfg.ff_size, cfg.num_layers
+    n = t
+    per_tok = 2 * d * (3 * d) + 2 * d * d + 2 * d * ff * 2
+    attn = 2 * 2 * n * n * d
+    block_flops = per_tok * n + attn
+    io_flops = n * (
+        2 * cfg.latent_total_dim * d + 2 * (2 * d + cfg.audio_feat_dim) * d
+        + 2 * d * cfg.latent_total_dim
+    )
+    step_flops = bs * (L * block_flops + io_flops)
+    loop_flops = 50 * step_flops
+
+    for tile in tiles:
+        fused = make_fused_denoise(cfg, params, tile_samples=tile)
+        x = fused(x0, te0, cond)
+        jax.block_until_ready(x)
+        ts = []
+        for _ in range(5):
+            x = x0
+            t0 = time.perf_counter()
+            for _i in range(50):
+                x = fused(x, te0, cond)
+            jax.device_get(x[0, 0, 0])
+            ts.append(time.perf_counter() - t0)
+        wall = statistics.median(ts)
+        print(
+            f"tile={tile}: {wall/bs*1e3:.3f} ms/window, "
+            f"MFU {loop_flops/wall/V5E_PEAK_FLOPS:.3f} "
+            f"(times {[round(x_*1e3) for x_ in ts]} ms)",
+            flush=True,
+        )
+
+
+if __name__ == "__main__":
+    tiles = [int(a) for a in sys.argv[1:]] or [4, 8]
+    main(tiles)

@@ -92,23 +92,28 @@ def _block_kernel(
             head_outs.append(_dot(probs, v))  # (T, hd)
         attn_out = jnp.concatenate(head_outs, axis=-1)
     else:
-        # serving path: ONE (S, S) score matmul per head with a
-        # block-diagonal mask (row i attends only inside its own sample).
-        # Cross-sample scores are wasted FLOPs (~tile_samples x the useful
-        # ones) but scores are <2% of layer FLOPs, the MXU tiles stay full,
-        # and the Mosaic program stays small (vs tile*heads unrolled tiny
-        # matmuls, which also ballooned kernel compile time).
-        rows = jax.lax.broadcasted_iota(jnp.int32, (s, s), 0) // t
-        cols = jax.lax.broadcasted_iota(jnp.int32, (s, s), 1) // t
-        neg = jnp.where(rows == cols, 0.0, -1e30).astype(F32)
+        # serving path: per-head BATCHED dot over the tile's samples —
+        # (tile, T, hd) x (tile, T, hd) -> (tile, T, T) scores. Earlier
+        # revisions computed one (S, S) score matmul with a block-diagonal
+        # mask; that kept MXU rows full but wasted tile_samples x the
+        # useful score/softmax work (~20% of layer FLOPs and 8x the exps
+        # at tile 8). Mosaic lowers the batched dot in-kernel, so there is
+        # no per-matmul dispatch cost to amortize.
         head_outs = []
         for head in range(num_heads):
-            q = qkv[:, head * hd : (head + 1) * hd]
-            k = qkv[:, d + head * hd : d + (head + 1) * hd]
-            v = qkv[:, 2 * d + head * hd : 2 * d + (head + 1) * hd]
-            scores = _dot(q * scale, k.T) + neg  # (S, S) masked
+            q = qkv[:, head * hd : (head + 1) * hd].reshape(tile_samples, t, hd)
+            k = qkv[:, d + head * hd : d + (head + 1) * hd].reshape(tile_samples, t, hd)
+            v = qkv[:, 2 * d + head * hd : 2 * d + (head + 1) * hd].reshape(tile_samples, t, hd)
+            scores = jax.lax.dot_general(
+                q * scale, k, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=F32,
+            )  # (tile, T, T)
             probs = jax.nn.softmax(scores, axis=-1)
-            head_outs.append(_dot(probs, v))  # (S, hd)
+            out = jax.lax.dot_general(
+                probs, v, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=F32,
+            )  # (tile, T, hd)
+            head_outs.append(out.reshape(s, hd))
         attn_out = jnp.concatenate(head_outs, axis=-1)
     x = x + _dot(attn_out.astype(jnp.bfloat16), wproj_ref[0]) + bproj_ref[0, 0]
 
