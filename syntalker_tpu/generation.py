@@ -33,7 +33,12 @@ import numpy as np
 
 from syntalker_tpu.data import joints as J
 from syntalker_tpu.diffusion.cfg import make_bodypart_cfg_model_fn
-from syntalker_tpu.diffusion.core import _rng_split, ddim_sample, ddpm_sample
+from syntalker_tpu.diffusion.core import (
+    _rng_normal,
+    _rng_split,
+    ddim_sample,
+    ddpm_sample,
+)
 from syntalker_tpu.diffusion.schedule import DiffusionParams
 from syntalker_tpu.models.denoiser import MDM, mdm_variables
 from syntalker_tpu.ops import rotations as rot
@@ -201,6 +206,91 @@ def sample_windows(
     )
     # Stitch: first window whole, later windows minus the seed overlap
     # (trainer :467-474). Static shapes: windows is (W, B, lw, 1536).
+    first = windows[0]
+    rest = windows[1:, :, plan.pre_frames :, :]
+    rest = jnp.moveaxis(rest, 0, 1).reshape(b, -1, J.LATENT_DIM)
+    return jnp.concatenate([first, rest], axis=1)
+
+
+def sample_windows_fused(
+    mdm: MDM,
+    mdm_params,
+    diffusion: DiffusionParams,
+    plan: WindowPlan,
+    audio_windows: jax.Array,  # (W, B, S_w, 2)
+    word_windows: jax.Array,  # (W, B, pose_length)
+    init_seed: jax.Array,  # (B, pre_frames, 1536)
+    rng: jax.Array,
+    *,
+    tile_samples: int = 8,
+    interpret: bool = False,
+    fused=None,  # prebuilt make_fused_denoise closure (a service caches it
+                 # across batches; the bf16 weight casts are not free)
+) -> jax.Array:
+    """Windowed DDIM sampling through the fused Pallas block stack.
+
+    The serving-throughput variant of :func:`sample_windows`: the NFE loop
+    is dispatched from the host (a scan-embedded ``pallas_call`` stalls the
+    remote compiler — docs/serving_roofline_round3.md) with each step one
+    fused 8-layer kernel (``ops.mdm_pallas.make_fused_denoise``) plus one
+    jitted elementwise DDIM update. Dispatches are async, so the device
+    stays saturated; at batch 256 this is the ~0.5-MFU path bench.py
+    reports as ``mfu_denoise_serving_pallas``.
+
+    Scope (the BEAT2 serving configuration): DDIM only, η=0, no body-part
+    CFG/prompt/style conditioning. RNG consumption mirrors
+    :func:`sample_windows` + ``ddim_sample`` exactly, so outputs match the
+    XLA scan path to the fused kernel's bf16-weight tolerance.
+    """
+    from syntalker_tpu.ops.mdm_pallas import make_fused_denoise
+
+    b = audio_windows.shape[1]
+    lw = plan.latent_window
+    shape = (b, lw, J.LATENT_DIM)
+    variables = mdm_variables(mdm_params)
+    tmap = jnp.asarray(diffusion.timestep_map)
+    t_emb_all = mdm.apply(variables, tmap, method="embed_timesteps")
+    n_steps = diffusion.num_steps
+
+    if fused is None:
+        # largest tile that divides the batch (the kernel tiles samples
+        # into shared grid steps; odd batches fall back to smaller tiles)
+        tile = max(t for t in range(1, tile_samples + 1) if b % t == 0)
+        fused = make_fused_denoise(
+            mdm.cfg, mdm_params, tile_samples=tile, interpret=interpret
+        )
+
+    @jax.jit
+    def encode(audio, word, seed):
+        return mdm.apply(variables, audio, word, seed, method="encode_cond")
+
+    @jax.jit
+    def ddim_update(x, pred_x0, i):
+        from syntalker_tpu.diffusion.core import predict_eps_from_xstart
+
+        t = jnp.full((b,), i, jnp.int32)
+        eps = predict_eps_from_xstart(diffusion, x, t, pred_x0)
+        abar_prev = diffusion.gather("alphas_cumprod_prev", t)
+        return jnp.sqrt(abar_prev) * pred_x0 + jnp.sqrt(
+            jnp.maximum(1 - abar_prev, 0.0)
+        ) * eps
+
+    seed, key = init_seed, rng
+    outs = []
+    for w in range(plan.num_windows):
+        key, k_samp = _rng_split(key)
+        cond = encode(audio_windows[w], word_windows[w], seed)
+        k_samp, k0 = _rng_split(k_samp)
+        x = _rng_normal(k0, shape)
+        for it in range(n_steps):
+            i = n_steps - 1 - it
+            te = jnp.tile(t_emb_all[i][None], (b, 1))
+            pred_x0 = fused(x, te, cond)
+            x = ddim_update(x, pred_x0, i)
+        outs.append(x)
+        seed = x[:, -plan.pre_frames :, :]
+
+    windows = jnp.stack(outs)  # (W, B, lw, 1536)
     first = windows[0]
     rest = windows[1:, :, plan.pre_frames :, :]
     rest = jnp.moveaxis(rest, 0, 1).reshape(b, -1, J.LATENT_DIM)

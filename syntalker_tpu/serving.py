@@ -70,6 +70,8 @@ class MotionGenerationService:
         sr: int = 16000,
         fps: int = 30,
         max_wait_s: float = 0.05,
+        use_fused: bool = False,
+        tile_samples: int = 8,
     ):
         self.mdm = mdm
         self.mdm_params = mdm_params
@@ -94,17 +96,31 @@ class MotionGenerationService:
         # HBM buffer in the serving path (W x B x S x 2 f32 ≈ 0.5 GB at
         # batch 64) and is consumed once by encode_cond — donation lets XLA
         # reuse it for sampler intermediates instead of holding both live.
-        # (On the CPU backend donation is a no-op that only warns — skip.)
-        donate = (0, 2) if jax.default_backend() != "cpu" else ()
-        self._jitted = jax.jit(self._generate_batch, donate_argnums=donate)
+        # the fused Pallas sampler dispatches its NFE loop from the host
+        # (a scan-embedded pallas_call stalls the remote compiler), so the
+        # outer generate cannot be one jitted program in that mode — only
+        # the decode tail is jitted there.
+        self.use_fused = use_fused
+        self.tile_samples = tile_samples
+        if use_fused:
+            from syntalker_tpu.ops.mdm_pallas import make_fused_denoise
+
+            tile = max(
+                t for t in range(1, tile_samples + 1) if max_batch % t == 0
+            )
+            self._fused = make_fused_denoise(
+                mdm.cfg, mdm_params, tile_samples=tile
+            )
+            self._jitted = self._generate_batch_fused
+            self._jitted_decode = jax.jit(self._decode)
+        else:
+            # (On the CPU backend donation is a no-op that only warns — skip.)
+            donate = (0, 2) if jax.default_backend() != "cpu" else ()
+            self._jitted = jax.jit(self._generate_batch, donate_argnums=donate)
 
     # ------------------------------------------------------------------
 
-    def _generate_batch(self, aw, ww, seed, key):
-        latents = G.sample_windows(
-            self.mdm, self.mdm_params, self.diffusion, self.plan,
-            aw, ww, seed, key, sampler="ddim",
-        )
+    def _decode(self, latents):
         dec = G.decode_latents(
             latents,
             rvq_modules=self.rvq_modules,
@@ -112,6 +128,20 @@ class MotionGenerationService:
             latent_scale=self.latent_scale,
         )
         return dec["axis_angle"], dec["trans"]
+
+    def _generate_batch(self, aw, ww, seed, key):
+        latents = G.sample_windows(
+            self.mdm, self.mdm_params, self.diffusion, self.plan,
+            aw, ww, seed, key, sampler="ddim",
+        )
+        return self._decode(latents)
+
+    def _generate_batch_fused(self, aw, ww, seed, key):
+        latents = G.sample_windows_fused(
+            self.mdm, self.mdm_params, self.diffusion, self.plan,
+            aw, ww, seed, key, fused=self._fused,
+        )
+        return self._jitted_decode(latents)
 
     def _prepare(self, req: MotionRequest):
         y = np.zeros(self.samples, np.float32)

@@ -88,3 +88,80 @@ def test_background_loop(service):
         assert "bg" in service.results
     finally:
         service.stop()
+
+
+class TestFusedServingPath:
+    """sample_windows_fused: the host-dispatched Pallas serving sampler
+    (generation.py) must reproduce the XLA scan path within the fused
+    kernel's bf16-weight tolerance, and MotionGenerationService must run
+    end-to-end with use_fused=True."""
+
+    def _tiny(self):
+        rng = jax.random.PRNGKey(0)
+        cfg = MDMConfig(
+            latent_dim=32, ff_size=64, num_layers=2, num_heads=2,
+            rope_heads=4, audio_feat_dim=16, word_feat_dim=16,
+            word_embed_dim=8, vocab_size=64,
+        )
+        mdm, params = create_mdm(cfg, rng, frames=128)
+        return mdm, params
+
+    def test_fused_sampler_matches_xla_scan(self):
+        import jax.numpy as jnp
+
+        from syntalker_tpu import generation as G
+
+        mdm, params = self._tiny()
+        diffusion = make_diffusion(steps=100, timestep_respacing="ddim4")
+        plan = G.plan_windows(240)
+        assert plan.num_windows == 2
+        b = 2
+        g = np.random.default_rng(0)
+        aw = jnp.asarray(
+            g.normal(0, 0.1, (plan.num_windows, b, 533 * 128, 2)), jnp.float32
+        )
+        ww = jnp.zeros((plan.num_windows, b, 128), jnp.int32)
+        seed0 = jnp.asarray(g.normal(size=(b, 4, 1536)), jnp.float32)
+        key = jax.random.PRNGKey(7)
+
+        ref = G.sample_windows(
+            mdm, params, diffusion, plan, aw, ww, seed0, key, sampler="ddim"
+        )
+        out = G.sample_windows_fused(
+            mdm, params, diffusion, plan, aw, ww, seed0, key, interpret=True
+        )
+        assert out.shape == ref.shape
+        err = float(jnp.abs(out - ref).max())
+        assert err < 2e-2, err  # bf16-stored weights; same bound as
+        # tests/test_mdm_pallas.py pins for the kernel alone
+
+    def test_service_use_fused_smoke(self, monkeypatch):
+        import functools
+
+        from syntalker_tpu.ops import mdm_pallas
+
+        monkeypatch.setattr(
+            mdm_pallas, "make_fused_denoise",
+            functools.partial(mdm_pallas.make_fused_denoise, interpret=True),
+        )
+        rng = jax.random.PRNGKey(0)
+        mdm, params = self._tiny()
+        q = RVQConfig(num_quantizers=2, nb_code=16, code_dim=512)
+        rvq = {}
+        for i, part in enumerate(("upper", "hands", "lower")):
+            rcfg = body_part_rvq_config(part, width=32, depth=1, quantizer=q)
+            module, p, state = create_rvqvae(rcfg, jax.random.fold_in(rng, i))
+            z = jax.random.normal(rng, (1, 32, 512))
+            state = rvq_forward(z, state, q, train=True, rng=rng).state
+            rvq[part] = (module, p, state)
+        svc = MotionGenerationService(
+            mdm=mdm, mdm_params=params, diffusion=make_diffusion(steps=2),
+            rvq_modules=rvq, stats=identity_pose_stats(), max_batch=2,
+            max_seconds=128 / 30, use_fused=True,
+        )
+        wav = np.random.default_rng(1).normal(0, 0.1, 16000 * 2).astype(np.float32)
+        svc.submit(MotionRequest(audio=wav, request_id="f0"))
+        svc.flush()
+        r = svc.results["f0"]
+        assert r.axis_angle.shape[1] == 165
+        assert np.isfinite(r.axis_angle).all()
