@@ -502,9 +502,13 @@ def stage_jax(args):
                 jax.tree.map(jnp.asarray, ck["rvq_params"][part]),
                 jax.tree.map(jnp.asarray, ck["rvq_qstate"][part]),
             )
-        mcfg = MDMConfig(vocab_size=VOCAB)
+        mcfg = MDMConfig(vocab_size=VOCAB,
+                         audio_norm=getattr(args, "audio_norm", "group"))
         module, _ = create_mdm(mcfg, jax.random.PRNGKey(0), frames=128)
         mdm_params = jax.tree.map(jnp.asarray, ck["mdm_params"])
+        if ck.get("mdm_model_state"):
+            mdm_params = {"params": mdm_params,
+                          **jax.tree.map(jnp.asarray, ck["mdm_model_state"])}
         scale = ck["latent_scale"]
         _jax_generate(args, out, data, module, mdm_params, rvq_modules,
                       scale, sd_off, report)
@@ -557,7 +561,8 @@ def stage_jax(args):
     print(f"[jax] latent scale {scale:.3f}, latent_in {latent_in.shape}")
 
     # ---- 3. MDM diffusion ----
-    mcfg = MDMConfig(vocab_size=VOCAB)
+    mcfg = MDMConfig(vocab_size=VOCAB,
+                     audio_norm=getattr(args, "audio_norm", "group"))
     module, params = create_mdm(mcfg, jax.random.PRNGKey(13 + sd_off), frames=128)
     diffusion = make_diffusion(steps=1000)
     opt = make_diffusion_optimizer(lr=DIFF_LR)
@@ -587,13 +592,18 @@ def stage_jax(args):
     with open(out / "jax_ckpt.pkl", "wb") as f:
         pickle.dump({
             "mdm_params": jax.device_get(state.params),
+            "mdm_model_state": jax.device_get(state.model_state or {}),
             "rvq_params": {k: jax.device_get(v[1]) for k, v in rvq_modules.items()},
             "rvq_qstate": {k: jax.device_get(v[2]) for k, v in rvq_modules.items()},
             "latent_scale": scale,
         }, f)
 
     # ---- 5. windowed generation over the whole clip ----
-    _jax_generate(args, out, data, module, state.params, rvq_modules, scale,
+    mdm_vars = (
+        {"params": state.params, **state.model_state}
+        if state.model_state else state.params
+    )
+    _jax_generate(args, out, data, module, mdm_vars, rvq_modules, scale,
                   sd_off, report)
 
 
@@ -739,6 +749,84 @@ def stage_jaxswap(args):
     print("[jaxswap] done; loss", np.mean(losses[-10:]))
 
 
+def stage_samplerswap(args):
+    """Sampler-vs-training bisect for the L1Div/BeatAlign deficit.
+
+    The jaxswap arm showed the deficit does NOT follow the latent space
+    (our MDM on torch's latents still under-shoots diversity). This arm
+    isolates the other two suspects: convert the TORCH-TRAINED MDM into our
+    framework exactly (convert_mdm, oracle-tested; BN folded) and sample it
+    with OUR windowed DDIM-50 sampler, decoding through the torch RVQs.
+
+    - matches torch's arm  -> our sampler is exonerated; the gap is in our
+      TRAINING loop (optimizer/batch order/t-sampling dynamics);
+    - shows the deficit    -> our windowed sampler itself damps diversity.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from syntalker_tpu import generation as G
+    from syntalker_tpu.convert import convert_mdm
+    from syntalker_tpu.diffusion.schedule import make_diffusion
+    from syntalker_tpu.models.denoiser import MDM as JaxMDM, MDMConfig
+
+    torch = _ref_setup()
+    out = _out(args)
+    data = np.load(out / "windows.npz")
+    sd_off = getattr(args, "seed", 0)
+    scale = json.loads((out / "torch_report.json").read_text())["latent_scale"]
+
+    sd = torch.load(out / "torch_mdm.pt", map_location="cpu")
+    # jax arrays, not numpy: a numpy word_embedding table indexed by a
+    # traced id array inside the sampler raises TracerArrayConversionError
+    variables = jax.tree.map(jnp.asarray, convert_mdm(sd))
+    mcfg = MDMConfig(vocab_size=VOCAB, audio_norm="none")
+    module = JaxMDM(mcfg)
+
+    import types as _types
+
+    from models.vq.model import RVQVAE
+
+    qargs = _types.SimpleNamespace(
+        num_quantizers=NUM_Q, shared_codebook=False,
+        quantize_dropout_prob=0.2, mu=0.99,
+    )
+    rvqs = {}
+    for part in PARTS:
+        w = data[f"rvq_{part}"]
+        net = RVQVAE(qargs, input_width=w.shape[-1], activation="relu",
+                     norm=None, **RVQ_KW)
+        net.load_state_dict(torch.load(out / f"torch_rvq_{part}.pt",
+                                       map_location="cpu"))
+        net.eval()
+        rvqs[part] = net
+
+    n = int(data["n_frames"])
+    plan = G.plan_windows(n)
+    aw = jnp.asarray(G.window_audio(data["audio"][None], plan))
+    ww = jnp.zeros((plan.num_windows, 1, 128), jnp.int32)
+    with torch.no_grad():
+        first_win = {p_: torch.from_numpy(
+            _full_feature(data, p_)[None, :128]).float() for p_ in PARTS}
+        seed_lat = torch.cat(
+            [rvqs[p_].map2latent(first_win[p_]) for p_ in PARTS], dim=2
+        ).numpy() / scale
+    ddim = make_diffusion(steps=1000, timestep_respacing="ddim50")
+    latents = G.sample_windows(
+        module, variables, ddim, plan, aw, ww,
+        jnp.asarray(seed_lat[:, : plan.pre_frames]),
+        jax.random.PRNGKey(3 + sd_off), sampler="ddim",
+    )
+    lat_t = torch.from_numpy(np.asarray(latents)).float() * scale
+    parts = {}
+    with torch.no_grad():
+        for j, p_ in enumerate(PARTS):
+            z = lat_t[..., j * 512 : (j + 1) * 512].clone()
+            parts[p_] = rvqs[p_].latent2origin(z)[0].numpy()[0]
+    np.savez(out / "jax_gen_samplerswap.npz", **parts)
+    print("[samplerswap] done")
+
+
 # --------------------------------------------------------------------------
 # stage: metrics (shared converted oracle)
 # --------------------------------------------------------------------------
@@ -825,6 +913,10 @@ def stage_metrics(args):
         # latent-swap diagnosis arm: our MDM on torch latents, torch decode
         res["syntalker_mdm_on_torch_latents"] = stack_metrics(
             np.load(out / "jax_gen_swap.npz"), gt_rot6d, audio)
+    if (out / "jax_gen_samplerswap.npz").exists() and sampler == "ddim":
+        # sampler bisect: the TORCH-trained MDM (converted) via OUR sampler
+        res["torch_mdm_via_our_sampler"] = stack_metrics(
+            np.load(out / "jax_gen_samplerswap.npz"), gt_rot6d, audio)
     # GT anchor for the diversity/alignment scales (FGD's anchor is the
     # split-floor below)
     n = res["syntalker_tpu"]["frames"]
@@ -861,7 +953,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="./outputs/parity")
     ap.add_argument("--stage",
-                    choices=["data", "torch", "jax", "jaxswap", "metrics", "all"],
+                    choices=["data", "torch", "jax", "jaxswap", "samplerswap",
+                             "metrics", "all"],
                     default="all")
     ap.add_argument("--diff-steps", type=int, default=DIFF_STEPS)
     ap.add_argument("--seed", type=int, default=0,
@@ -871,13 +964,19 @@ def main():
                     help="generation protocol: ddim=demo ddim50, ddpm=the "
                          "reference's shipped eval (p_sample_loop, 1000 NFE; "
                          "diffusion_rvqvae_trainer.py:361)")
+    ap.add_argument("--audio-norm", choices=["group", "batch", "none"],
+                    default="group",
+                    help="WavEncoder normalization for the jax arm; 'batch' "
+                         "is the reference-exact BatchNorm path (the torch "
+                         "arm always uses BN) - the L1Div/BeatAlign bisect")
     ap.add_argument("--skip-train", action="store_true",
                     help="reuse saved torch/jax checkpoints in --out and only "
                          "re-generate + re-score (e.g. a DDPM arm over the "
                          "DDIM run's models)")
     args = ap.parse_args()
     stages = {"data": stage_data, "torch": stage_torch, "jax": stage_jax,
-              "jaxswap": stage_jaxswap, "metrics": stage_metrics}
+              "jaxswap": stage_jaxswap, "samplerswap": stage_samplerswap,
+              "metrics": stage_metrics}
     if args.stage == "all":
         for s in ("data", "torch", "jax", "metrics"):
             stages[s](args)
