@@ -424,3 +424,69 @@ class TestMotionCLIPStyleConditioning:
         with_style = np.asarray(sample(style))
         without = np.asarray(sample(None))
         assert np.abs(with_style - without).max() > 1e-4
+
+
+class TestAudioDtype:
+    """audio_dtype=bf16: the fast-training conv option (BASELINE.md) must
+    keep params f32, norm statistics f32, and stay numerically close to the
+    f32 pyramid."""
+
+    CFG = dict(
+        latent_total_dim=48, latent_dim=32, ff_size=64, num_layers=1,
+        num_heads=2, rope_heads=4, audio_feat_dim=16, word_feat_dim=16,
+        word_embed_dim=8, vocab_size=32,
+    )
+
+    def test_bf16_convs_close_to_f32(self):
+        import jax
+        import jax.numpy as jnp
+
+        from syntalker_tpu.models.denoiser import MDMConfig, create_mdm
+
+        rng = jax.random.PRNGKey(0)
+        m32, p32 = create_mdm(MDMConfig(**self.CFG), rng, frames=32)
+        m16, _ = create_mdm(
+            MDMConfig(**self.CFG, audio_dtype=jnp.bfloat16), rng, frames=32
+        )
+        # params identical (compute dtype does not change param init/dtype)
+        for leaf in jax.tree.leaves(p32):
+            assert leaf.dtype == jnp.float32
+        x = {
+            "x_t": jax.random.normal(rng, (2, 8, 48)),
+            "t": jnp.array([1, 3]),
+            "audio": 0.1 * jax.random.normal(rng, (2, 533 * 32, 2)),
+            "word": jnp.zeros((2, 32), jnp.int32),
+            "seed": jnp.zeros((2, 4, 48)),
+        }
+        o32 = np.asarray(m32.apply({"params": p32}, **x))
+        o16 = np.asarray(m16.apply({"params": p32}, **x))
+        assert o16.dtype == np.float32  # output stays f32
+        # bf16 has ~3 decimal digits; the 6-block pyramid compounds it
+        np.testing.assert_allclose(o16, o32, atol=5e-2, rtol=5e-2)
+        assert not np.array_equal(o16, o32)  # bf16 actually engaged
+
+    def test_bf16_gradients_finite(self):
+        import jax
+        import jax.numpy as jnp
+
+        from syntalker_tpu.models.denoiser import MDMConfig, create_mdm
+
+        rng = jax.random.PRNGKey(0)
+        m16, p16 = create_mdm(
+            MDMConfig(**self.CFG, audio_dtype=jnp.bfloat16), rng, frames=32
+        )
+        x = {
+            "x_t": jax.random.normal(rng, (2, 8, 48)),
+            "t": jnp.array([1, 3]),
+            "audio": 0.1 * jax.random.normal(rng, (2, 533 * 32, 2)),
+            "word": jnp.zeros((2, 32), jnp.int32),
+            "seed": jnp.zeros((2, 4, 48)),
+        }
+
+        def loss(p):
+            return jnp.sum(m16.apply({"params": p}, **x) ** 2)
+
+        g = jax.grad(loss)(p16)
+        for leaf in jax.tree.leaves(g):
+            assert leaf.dtype == jnp.float32
+            assert np.isfinite(np.asarray(leaf)).all()
