@@ -116,7 +116,7 @@ def main():
     stats = load_pose_stats("/root/reference/mean_std")
     cfg = ExperimentConfig(
         representation=args.representation,
-        mdm=MDMConfig(),  # full-size denoiser
+        mdm=MDMConfig(audio_norm="batch"),  # full-size, shipped config
         train=TrainConfig(batch_size=32, log_period=50, seed=7,
                           ckpt_dir=str(out_dir / "diff")),
         data=DataConfig(mean_std_dir="/root/reference/mean_std", pose_length=128),

@@ -76,7 +76,7 @@ def main():
     }
     print(json.dumps(report["cache"]))
 
-    mdm_cfg = MDMConfig(vocab_size=max(vocab.n_words, 16))
+    mdm_cfg = MDMConfig(vocab_size=max(vocab.n_words, 16), audio_norm="batch")
     base = dict(
         data=DataConfig(
             data_path=str(corpus_root), cache_path=str(OUT / "cache"),
