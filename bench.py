@@ -199,7 +199,7 @@ def main():
         # ---- fused Pallas serving path (round 3) ------------------------
         # One pallas_call per denoise step: 8 layers with bf16 weights
         # streamed HBM->VMEM and the activation tile VMEM-resident across
-        # layers; 8 samples per grid step (best point of the
+        # layers; 32 samples per grid step (best point of the
         # scripts/time_fused_serving.py sweep since the per-sample batched
         # attention landed — tokens-parallel matmuls see 256 MXU rows and
         # attention pays no cross-sample waste). Dispatched as a 50-step host loop: the
@@ -209,7 +209,7 @@ def main():
         # device stays saturated — measured 0.35 -> ~0.49 MFU.
         from syntalker_tpu.ops.mdm_pallas import make_fused_denoise
 
-        fused = make_fused_denoise(mdm_cfg, mdm_params, tile_samples=8)
+        fused = make_fused_denoise(mdm_cfg, mdm_params, tile_samples=32)
         te0 = jnp.tile(t_embs[0][None], (bs, 1))
         xf = fused(x0, te0, cond)
         jax.block_until_ready(xf)  # warm

@@ -222,7 +222,7 @@ def sample_windows_fused(
     init_seed: jax.Array,  # (B, pre_frames, 1536)
     rng: jax.Array,
     *,
-    tile_samples: int = 8,
+    tile_samples: int = 32,
     interpret: bool = False,
     fused=None,  # prebuilt make_fused_denoise closure (a service caches it
                  # across batches; the bf16 weight casts are not free)

@@ -71,7 +71,7 @@ class MotionGenerationService:
         fps: int = 30,
         max_wait_s: float = 0.05,
         use_fused: bool = False,
-        tile_samples: int = 8,
+        tile_samples: int = 32,
     ):
         self.mdm = mdm
         self.mdm_params = mdm_params
