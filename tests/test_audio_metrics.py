@@ -192,8 +192,12 @@ class TestAudioGoldens:
         fresh = compute_goldens()
         assert set(frozen.files) == set(fresh)
         for k in fresh:
-            np.testing.assert_array_equal(
-                fresh[k], frozen[k],
+            # tight tolerance, not bitwise: the FFT/mel-filterbank dots go
+            # through BLAS, whose reduction order varies with the host's
+            # thread count (observed: 7e-8 relative on one onset frame).
+            # Semantic drift is orders of magnitude above this.
+            np.testing.assert_allclose(
+                fresh[k], frozen[k], rtol=1e-5, atol=1e-6,
                 err_msg=f"audio featurization drifted from golden '{k}' — "
                 "if intentional, re-freeze with scripts/make_audio_goldens.py",
             )
