@@ -72,6 +72,7 @@ class MotionGenerationService:
         max_wait_s: float = 0.05,
         use_fused: bool = False,
         tile_samples: int = 32,
+        mesh: Optional[jax.sharding.Mesh] = None,
     ):
         self.mdm = mdm
         self.mdm_params = mdm_params
@@ -102,6 +103,42 @@ class MotionGenerationService:
         # the decode tail is jitted there.
         self.use_fused = use_fused
         self.tile_samples = tile_samples
+        self.mesh = mesh
+        if mesh is not None:
+            # data-parallel serving: shard the request batch over the mesh's
+            # 'data' axis. Per-sample independence of the windowed sampler
+            # means GSPMD partitions every op on the batch dim with ZERO
+            # collectives — throughput scales linearly with chips (the
+            # per-chip operating point stays the BASELINE.md batch knee, so
+            # size max_batch = knee x n_chips). The fused Pallas path is a
+            # per-chip kernel; shard above it (one service per chip) instead.
+            if use_fused:
+                raise ValueError(
+                    "use_fused is a single-chip path; run one fused service "
+                    "per chip instead of mesh-sharding it"
+                )
+            if "data" not in mesh.shape:
+                raise ValueError(f"mesh needs a 'data' axis, got {mesh.shape}")
+            if max_batch % mesh.shape["data"]:
+                raise ValueError(
+                    f"max_batch {max_batch} not divisible by data axis "
+                    f"{mesh.shape['data']}"
+                )
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            def ns(*spec):
+                return NamedSharding(mesh, PartitionSpec(*spec))
+
+            donate = (0, 2) if jax.default_backend() != "cpu" else ()
+            self._jitted = jax.jit(
+                self._generate_batch,
+                # (W, B, S, 2) audio / (W, B, L) words / (B, pre, 1536) seed
+                in_shardings=(ns(None, "data"), ns(None, "data"), ns("data"),
+                              ns()),
+                out_shardings=(ns("data"), ns("data")),
+                donate_argnums=donate,
+            )
+            return
         if use_fused:
             from syntalker_tpu.ops.mdm_pallas import make_fused_denoise
 
