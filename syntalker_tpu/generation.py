@@ -212,6 +212,119 @@ def sample_windows(
     return jnp.concatenate([first, rest], axis=1)
 
 
+def make_fused_loop_sampler(
+    mdm: MDM,
+    mdm_params,
+    diffusion: DiffusionParams,
+    plan: WindowPlan,
+    *,
+    interpret: bool = False,
+):
+    """Build the fused-loop windowed sampler: the ENTIRE NFE loop runs as
+    one Pallas kernel per window (:func:`ops.mdm_pallas.
+    make_fused_ddim_window`), and the host loop is exactly TWO async
+    dispatches per window.
+
+    The batch-1 LATENCY variant of :func:`sample_windows_fused`: where that
+    path dispatches one fused block-stack kernel per NFE step (50 kernel +
+    50 update dispatches per window), here the whole 50-step loop lives
+    inside the kernel — the DDIM state never leaves VMEM. Dispatch count
+    matters as much as device time on a remote-attached chip (the axon
+    relay costs ~27 ms per BLOCKING host round trip, and eager non-jitted
+    ops like `jax.random.split` block): all window noises are drawn in one
+    jitted program up front (bitwise-identical RNG consumption to
+    :func:`sample_windows_fused`), the seed slice is folded into the next
+    window's jitted encode, and stitching is one jitted call at the end.
+
+    Returns ``sample(audio_windows, word_windows, init_seed, rng)`` with
+    the signature/semantics of :func:`sample_windows` restricted to DDIM
+    η=0 without CFG/prompt/style. Factory-style (like the serving path's
+    prebuilt ``make_fused_denoise``) so every jit below is traced once, not
+    per call.
+    """
+    from syntalker_tpu.ops.mdm_pallas import make_fused_ddim_window
+
+    variables = mdm_variables(mdm_params)
+    fused = make_fused_ddim_window(
+        mdm.cfg, mdm_params, diffusion, interpret=interpret
+    )
+    lw = plan.latent_window
+    pre = plan.pre_frames
+    n_windows = plan.num_windows
+
+    @jax.jit
+    def prep_noise(rng, init_seed):
+        # per-window initial noise, drawn in ONE dispatch with the exact
+        # split chain of sample_windows_fused (key -> k_samp -> k0 per
+        # window) so the two paths consume identical bits
+        b = init_seed.shape[0]
+        key = rng
+        noises = []
+        for _ in range(n_windows):
+            key, k_samp = _rng_split(key)
+            k_samp, k0 = _rng_split(k_samp)
+            noises.append(_rng_normal(k0, (b, lw, J.LATENT_DIM)))
+        return noises
+
+    @jax.jit
+    def encode_first(audio, word, seed):
+        return mdm.apply(variables, audio, word, seed, method="encode_cond")
+
+    @jax.jit
+    def encode_next(audio, word, x_prev):
+        return mdm.apply(
+            variables, audio, word, x_prev[:, -pre:, :], method="encode_cond"
+        )
+
+    @jax.jit
+    def stitch(outs):
+        windows = jnp.stack(outs)  # (W, B, lw, 1536)
+        b = windows.shape[1]
+        first = windows[0]
+        rest = windows[1:, :, pre:, :]
+        rest = jnp.moveaxis(rest, 0, 1).reshape(b, -1, J.LATENT_DIM)
+        return jnp.concatenate([first, rest], axis=1)
+
+    def sample(audio_windows, word_windows, init_seed, rng):
+        noises = prep_noise(rng, init_seed)
+        outs = []
+        x = None
+        for w in range(n_windows):
+            cond = (
+                encode_first(audio_windows[w], word_windows[w], init_seed)
+                if w == 0
+                else encode_next(audio_windows[w], word_windows[w], x)
+            )
+            x = fused(noises[w], cond)
+            outs.append(x)
+        return stitch(outs)
+
+    return sample
+
+
+def sample_windows_fused_loop(
+    mdm: MDM,
+    mdm_params,
+    diffusion: DiffusionParams,
+    plan: WindowPlan,
+    audio_windows: jax.Array,  # (W, B, S_w, 2)
+    word_windows: jax.Array,  # (W, B, pose_length)
+    init_seed: jax.Array,  # (B, pre_frames, 1536)
+    rng: jax.Array,
+    *,
+    interpret: bool = False,
+    fused=None,  # prebuilt make_fused_loop_sampler result
+) -> jax.Array:
+    """One-shot wrapper over :func:`make_fused_loop_sampler` (which see).
+    Callers sampling repeatedly should build the sampler once and reuse it
+    — every call here re-traces the factory's jits."""
+    if fused is None:
+        fused = make_fused_loop_sampler(
+            mdm, mdm_params, diffusion, plan, interpret=interpret
+        )
+    return fused(audio_windows, word_windows, init_seed, rng)
+
+
 def sample_windows_fused(
     mdm: MDM,
     mdm_params,

@@ -50,35 +50,27 @@ def _dot(a, b):
     return jax.lax.dot(a, b, preferred_element_type=F32)
 
 
-def _block_kernel(
-    x_in_ref,  # (1, T, D) f32 — this sample's block input
-    ln1_s_ref, ln1_b_ref,  # (1, 1, D)
-    wqkv_ref,  # (1, D, 3D) bf16
-    wproj_ref, bproj_ref,  # (1, D, D) bf16, (1, 1, D)
-    ln2_s_ref, ln2_b_ref,  # (1, 1, D)
-    wfc1_ref, bfc1_ref,  # (1, D, F) bf16, (1, 1, F)
-    wfc2_ref, bfc2_ref,  # (1, F, D) bf16, (1, 1, D)
-    out_ref,  # (1, S, D) f32 — revisited across the L grid steps
+def _block_math(
+    x,  # (S, D) f32 activation, S = tile_samples * T tokens
+    ln1_s, ln1_b,  # (D,)
+    wqkv,  # (D, 3D) bf16
+    wproj, bproj,  # (D, D) bf16, (D,)
+    ln2_s, ln2_b,  # (D,)
+    wfc1, bfc1,  # (D, F) bf16, (F,)
+    wfc2, bfc2,  # (F, D) bf16, (D,)
     *,
     num_heads: int,
     tile_samples: int,
 ):
-    layer = pl.program_id(1)
-
-    # first layer of each tile consumes the block input; later layers the
-    # carried activation
-    @pl.when(layer == 0)
-    def _():
-        out_ref[...] = x_in_ref[...]
-
-    x = out_ref[0]  # (S, D) f32 with S = tile_samples * T tokens
+    """One pre-LN transformer block on in-register/VMEM values — shared by
+    the block-stack kernel and the full-DDIM-loop kernel."""
     s, d = x.shape
     t = s // tile_samples  # per-sample sequence length
     hd = d // num_heads
 
     # --- attention ---------------------------------------------------------
-    h = _layer_norm(x, ln1_s_ref[0, 0], ln1_b_ref[0, 0])
-    qkv = _dot(h.astype(jnp.bfloat16), wqkv_ref[0])  # (S, 3D) f32 accum
+    h = _layer_norm(x, ln1_s, ln1_b)
+    qkv = _dot(h.astype(jnp.bfloat16), wqkv)  # (S, 3D) f32 accum
     scale = hd ** -0.5
     if tile_samples == 1:
         # latency path: per-head small matmuls on the single sample
@@ -115,18 +107,49 @@ def _block_kernel(
             )  # (tile, T, hd)
             head_outs.append(out.reshape(s, hd))
         attn_out = jnp.concatenate(head_outs, axis=-1)
-    x = x + _dot(attn_out.astype(jnp.bfloat16), wproj_ref[0]) + bproj_ref[0, 0]
+    x = x + _dot(attn_out.astype(jnp.bfloat16), wproj) + bproj
 
     # --- mlp ---------------------------------------------------------------
-    h = _layer_norm(x, ln2_s_ref[0, 0], ln2_b_ref[0, 0])
-    h = _dot(h.astype(jnp.bfloat16), wfc1_ref[0]) + bfc1_ref[0, 0]
+    h = _layer_norm(x, ln2_s, ln2_b)
+    h = _dot(h.astype(jnp.bfloat16), wfc1) + bfc1
     # tanh-approx GELU: the flax blocks use exact erf GELU, but erf/erfc has
     # no Mosaic TPU lowering; max deviation ~1e-3 of activation scale, well
     # inside the kernel's bf16-weight tolerance (parity test pins 2e-2)
     h = jax.nn.gelu(h, approximate=True)
-    x = x + _dot(h.astype(jnp.bfloat16), wfc2_ref[0]) + bfc2_ref[0, 0]
+    return x + _dot(h.astype(jnp.bfloat16), wfc2) + bfc2
 
-    out_ref[0] = x
+
+def _block_kernel(
+    x_in_ref,  # (1, T, D) f32 — this sample's block input
+    ln1_s_ref, ln1_b_ref,  # (1, 1, D)
+    wqkv_ref,  # (1, D, 3D) bf16
+    wproj_ref, bproj_ref,  # (1, D, D) bf16, (1, 1, D)
+    ln2_s_ref, ln2_b_ref,  # (1, 1, D)
+    wfc1_ref, bfc1_ref,  # (1, D, F) bf16, (1, 1, F)
+    wfc2_ref, bfc2_ref,  # (1, F, D) bf16, (1, 1, D)
+    out_ref,  # (1, S, D) f32 — revisited across the L grid steps
+    *,
+    num_heads: int,
+    tile_samples: int,
+):
+    layer = pl.program_id(1)
+
+    # first layer of each tile consumes the block input; later layers the
+    # carried activation
+    @pl.when(layer == 0)
+    def _():
+        out_ref[...] = x_in_ref[...]
+
+    out_ref[0] = _block_math(
+        out_ref[0],
+        ln1_s_ref[0, 0], ln1_b_ref[0, 0],
+        wqkv_ref[0],
+        wproj_ref[0], bproj_ref[0, 0],
+        ln2_s_ref[0, 0], ln2_b_ref[0, 0],
+        wfc1_ref[0], bfc1_ref[0, 0],
+        wfc2_ref[0], bfc2_ref[0, 0],
+        num_heads=num_heads, tile_samples=tile_samples,
+    )
 
 
 def stack_block_weights(block_params: Dict) -> Dict[str, jax.Array]:
@@ -213,6 +236,256 @@ def make_fused_denoise(cfg, params, *, tile_samples: int = 8, interpret: bool = 
         )
 
     return denoise
+
+
+def rope_flat_tables(n: int, d: int, rope_heads: int):
+    """RoPE as elementwise tables + one matmul on the FLAT (T, D) layout.
+
+    ``apply_rope`` (denoiser.py) is linear in x: x' = cos⊙x + sin⊙rot(x)
+    where rot is the per-sub-head half-swap-negate. On the flat layout rot
+    is a fixed (D, D) signed permutation P, so the kernel can apply RoPE
+    without the (T, RH, hd) reshape (unsupported lane regrouping in
+    Mosaic): x' = cos_flat*x + (x@P)*sin_flat. P entries are ±1 — exact in
+    bf16 — and the extra (T,D)x(D,D) matmul is noise next to the block
+    matmuls. Returns (cos_flat (n,d) f32, sin_flat (n,d) f32, P (d,d) bf16).
+    """
+    hd = d // rope_heads
+    # numpy mirror of denoiser.rope_angles (f32 like the jnp version):
+    # callable under an outer jit, where the jnp version would be a tracer
+    inv_freq = (
+        1.0 / (10000.0 ** (np.arange(0, hd, 2, dtype=np.float32) / np.float32(hd)))
+    ).astype(np.float32)
+    freqs = np.arange(n, dtype=np.float32)[:, None] * inv_freq[None, :]
+    ang = np.concatenate([freqs, freqs], axis=-1)  # (n, hd)
+    cos_flat = np.tile(np.cos(ang), (1, rope_heads)).astype(np.float32)
+    sin_flat = np.tile(np.sin(ang), (1, rope_heads)).astype(np.float32)
+    perm = np.zeros((d, d), np.float32)
+    half = hd // 2
+    for h in range(rope_heads):
+        o = h * hd
+        for c in range(half):
+            perm[o + c + half, o + c] = -1.0  # rot[c] = -x[c + hd/2]
+            perm[o + c, o + c + half] = 1.0  # rot[c + hd/2] = x[c]
+    return (
+        jnp.asarray(cos_flat),
+        jnp.asarray(sin_flat),
+        jnp.asarray(perm, jnp.bfloat16),
+    )
+
+
+def _ddim_window_kernel(
+    # per-sample / per-step inputs
+    x_init_ref,  # (1, T, C) f32 initial noise, consumed at (step 0, layer 0)
+    temb_ref,  # (1, 1, D) f32 — this step's timestep embedding
+    ca_ref, cb_ref,  # (1, 1, 1) f32 DDIM x/x0 coefficients for this step
+    seed_ref,  # (1, 1, D) f32 seed-latent embedding (per window)
+    at_ref,  # (1, T, A) f32 audio+word features (per window)
+    # resident tables / io weights
+    cos_ref, sin_ref,  # (T, D) f32 flat RoPE tables
+    p_ref,  # (D, D) bf16 RoPE half-swap matrix
+    w_in_ref, b_in_ref,  # (C, D) bf16, (1, D) f32 — input_process
+    w_in2_ref, b_in2_ref,  # (2D+A, D) bf16, (1, D) — input_process2
+    w_out_ref, b_out_ref,  # (D, C) bf16, (1, C) — output_process
+    # per-layer streamed block weights (leading L axis)
+    ln1_s_ref, ln1_b_ref, wqkv_ref, wproj_ref, bproj_ref,
+    ln2_s_ref, ln2_b_ref, wfc1_ref, bfc1_ref, wfc2_ref, bfc2_ref,
+    # outputs / scratch
+    x_ref,  # (1, T, C) f32 — the DDIM state, revisited across all grid steps
+    act_ref,  # (T, D) f32 scratch — the block activation within one step
+    *,
+    num_heads: int,
+    num_layers: int,
+):
+    si = pl.program_id(1)
+    li = pl.program_id(2)
+
+    @pl.when((si == 0) & (li == 0))
+    def _():
+        x_ref[...] = x_init_ref[...]
+
+    d = act_ref.shape[-1]
+
+    @pl.when(li == 0)
+    def _():
+        # denoise-step prologue: input projections + RoPE, all VMEM-resident
+        x = x_ref[0]  # (T, C)
+        x_emb = _dot(x.astype(jnp.bfloat16), w_in_ref[...]) + b_in_ref[0]
+        style = seed_ref[0] + temb_ref[0]  # (1, D), broadcasts over T
+        # concat([style, x_emb, at]) @ w_in2 as three row-block matmuls
+        h = (
+            _dot(style.astype(jnp.bfloat16), w_in2_ref[0:d])
+            + _dot(x_emb.astype(jnp.bfloat16), w_in2_ref[d : 2 * d])
+            + _dot(at_ref[0].astype(jnp.bfloat16), w_in2_ref[2 * d :])
+            + b_in2_ref[0]
+        )
+        h = cos_ref[...] * h + sin_ref[...] * _dot(
+            h.astype(jnp.bfloat16), p_ref[...]
+        )
+        act_ref[...] = h
+
+    act_ref[...] = _block_math(
+        act_ref[...],
+        ln1_s_ref[0, 0], ln1_b_ref[0, 0],
+        wqkv_ref[0],
+        wproj_ref[0], bproj_ref[0, 0],
+        ln2_s_ref[0, 0], ln2_b_ref[0, 0],
+        wfc1_ref[0], bfc1_ref[0, 0],
+        wfc2_ref[0], bfc2_ref[0, 0],
+        num_heads=num_heads, tile_samples=1,
+    )
+
+    @pl.when(li == num_layers - 1)
+    def _():
+        # output projection + the η=0 DDIM update: x <- a*x + b*x0
+        x0 = _dot(act_ref[...].astype(jnp.bfloat16), w_out_ref[...]) + b_out_ref[0]
+        x_ref[0] = ca_ref[0, 0] * x_ref[0] + cb_ref[0, 0] * x0
+
+
+def make_fused_ddim_window(cfg, params, diffusion, *, interpret: bool = False):
+    """Whole-window DDIM sampler as ONE pallas_call: grid (B, NFE, L).
+
+    The batch-1 latency path spends ~150 µs per NFE step in the XLA scan —
+    the 8-block stack is only ~45 µs; the rest is the in/out projections,
+    RoPE, the DDIM update and ~20 small-kernel dispatch boundaries around
+    them. Fusing the ENTIRE 50-step loop keeps the DDIM state x (T, 1536)
+    and the activation in VMEM for the whole window; per-layer weights
+    restream each step under the pipeline's double buffering (12.5 MB bf16
+    x NFE — ~0.8 ms of HBM traffic at 50 NFE, fully overlapped).
+
+    Scope matches :func:`syntalker_tpu.generation.sample_windows_fused`:
+    DDIM η=0, no CFG/prompt/style. Returns ``run(x_init, cond) -> x_final``
+    where cond is the window's Conditioning; numerics match the XLA path to
+    the kernel's bf16-weight tolerance (parity-tested).
+    """
+    from syntalker_tpu.models.denoiser import mdm_variables
+
+    p = params["params"] if isinstance(params, dict) and "params" in params else params
+    w = stack_block_weights(p["blocks"]["block"])
+
+    def io_w(name):
+        return jnp.asarray(p[name]["kernel"], jnp.bfloat16)
+
+    def io_b(name):
+        return jnp.asarray(p[name]["bias"], F32)[None, :]
+
+    io = {
+        "w_in": io_w("input_process"), "b_in": io_b("input_process"),
+        "w_in2": io_w("input_process2"), "b_in2": io_b("input_process2"),
+        "w_out": io_w("output_process"), "b_out": io_b("output_process"),
+    }
+
+    # DDIM coefficients over the respaced schedule, in ITERATION order
+    # (it: 0..S-1 corresponds to step index i = S-1-it; core.ddim_sample):
+    #   eps  = (r[i]*x - x0) / rm1[i]
+    #   x'   = sqrt(abar_prev[i])*x0 + sqrt(1-abar_prev[i])*eps
+    #        = a*x + b*x0 with a = sqrt(1-abar_prev)*r/rm1,
+    #                          b = sqrt(abar_prev) - sqrt(1-abar_prev)/rm1
+    idx = np.arange(diffusion.num_steps - 1, -1, -1)
+    abar_prev = np.asarray(diffusion.alphas_cumprod_prev, np.float64)[idx]
+    r = np.asarray(diffusion.sqrt_recip_alphas_cumprod, np.float64)[idx]
+    rm1 = np.asarray(diffusion.sqrt_recipm1_alphas_cumprod, np.float64)[idx]
+    s1m = np.sqrt(np.maximum(1.0 - abar_prev, 0.0))
+    coef_a = jnp.asarray(s1m * r / rm1, F32)[:, None, None]
+    coef_b = jnp.asarray(np.sqrt(abar_prev) - s1m / rm1, F32)[:, None, None]
+
+    # per-step timestep embeddings, iteration order (S, 1, D)
+    from syntalker_tpu.models.denoiser import MDM
+
+    mdm = MDM(cfg)
+    t_emb_all = mdm.apply(
+        mdm_variables(params), jnp.asarray(diffusion.timestep_map),
+        method="embed_timesteps",
+    )
+    t_embs = t_emb_all[::-1][:, None, :]
+
+    # weights/tables as ARGUMENTS (closure capture inlines them as HLO
+    # constants and stalls the remote compiler — see make_fused_denoise)
+    @functools.partial(
+        jax.jit,
+        static_argnames=("num_heads", "rope_heads", "num_layers", "interpret"),
+    )
+    def _impl(io, w, t_embs, coef_a, coef_b, x_init, seed_emb, at_feat, *,
+              num_heads, rope_heads, num_layers, interpret):
+        b, t, c = x_init.shape
+        d = io["w_in"].shape[-1]
+        a_dim = io["w_in2"].shape[0] - 2 * d
+        s = t_embs.shape[0]
+        cos_f, sin_f, perm = rope_flat_tables(t, d, rope_heads)
+        at = at_feat[:, :t, :a_dim].astype(F32)
+        seed = seed_emb[:, None, :].astype(F32)
+
+        def const(shape):
+            return pl.BlockSpec(
+                shape, lambda bi, si, li: (0,) * len(shape),
+                memory_space=pltpu.VMEM,
+            )
+
+        def per_b(shape):
+            return pl.BlockSpec(
+                (1,) + shape, lambda bi, si, li: (bi,) + (0,) * len(shape),
+                memory_space=pltpu.VMEM,
+            )
+
+        def per_s(shape):
+            return pl.BlockSpec(
+                (1,) + shape, lambda bi, si, li: (si,) + (0,) * len(shape),
+                memory_space=pltpu.VMEM,
+            )
+
+        def per_l(shape):
+            return pl.BlockSpec(
+                (1,) + shape, lambda bi, si, li: (li,) + (0,) * len(shape),
+                memory_space=pltpu.VMEM,
+            )
+
+        f = w["wfc1"].shape[-1]
+        return pl.pallas_call(
+            functools.partial(
+                _ddim_window_kernel, num_heads=num_heads, num_layers=num_layers
+            ),
+            grid=(b, s, num_layers),
+            in_specs=[
+                per_b((t, c)),  # x_init
+                per_s((1, d)),  # t_emb
+                per_s((1, 1)), per_s((1, 1)),  # coef_a, coef_b
+                per_b((1, d)),  # seed_emb
+                per_b((t, a_dim)),  # at_feat
+                const((t, d)), const((t, d)),  # cos, sin
+                const((d, d)),  # P
+                const((c, d)), const((1, d)),  # input_process
+                const((2 * d + a_dim, d)), const((1, d)),  # input_process2
+                const((d, c)), const((1, c)),  # output_process
+                per_l((1, d)), per_l((1, d)),  # ln1
+                per_l((d, 3 * d)),  # wqkv
+                per_l((d, d)), per_l((1, d)),  # proj
+                per_l((1, d)), per_l((1, d)),  # ln2
+                per_l((d, f)), per_l((1, f)),  # fc1
+                per_l((f, d)), per_l((1, d)),  # fc2
+            ],
+            out_specs=pl.BlockSpec(
+                (1, t, c), lambda bi, si, li: (bi, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            out_shape=jax.ShapeDtypeStruct((b, t, c), F32),
+            scratch_shapes=[pltpu.VMEM((t, d), F32)],
+            interpret=interpret,
+        )(
+            x_init.astype(F32), t_embs, coef_a, coef_b, seed, at,
+            cos_f, sin_f, perm,
+            io["w_in"], io["b_in"], io["w_in2"], io["b_in2"],
+            io["w_out"], io["b_out"],
+            w["ln1_s"], w["ln1_b"], w["wqkv"], w["wproj"], w["bproj"],
+            w["ln2_s"], w["ln2_b"], w["wfc1"], w["bfc1"], w["wfc2"], w["bfc2"],
+        )
+
+    def run(x_init, cond):
+        return _impl(
+            io, w, t_embs, coef_a, coef_b, x_init, cond.seed_emb, cond.at_feat,
+            num_heads=cfg.num_heads, rope_heads=cfg.rope_heads,
+            num_layers=cfg.num_layers, interpret=interpret,
+        )
+
+    return run
 
 
 @functools.partial(

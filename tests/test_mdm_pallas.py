@@ -89,6 +89,64 @@ class TestTiledServingStack:
             fused_block_stack(x, w, tile_samples=4, interpret=True)
 
 
+class TestRopeFlat:
+    def test_flat_tables_match_apply_rope(self):
+        """cos*x + (x@P)*sin on the flat layout == apply_rope on the
+        (T, RH, hd) view (RoPE is linear in x)."""
+        from syntalker_tpu.models.denoiser import apply_rope, rope_angles
+        from syntalker_tpu.ops.mdm_pallas import rope_flat_tables
+
+        n, d, rh = 8, 256, 4
+        hd = d // rh
+        x = jax.random.normal(jax.random.PRNGKey(0), (n, d))
+        ref = apply_rope(
+            x.reshape(n, rh, hd), rope_angles(n, hd)[:, None, :]
+        ).reshape(n, d)
+        cos_f, sin_f, perm = rope_flat_tables(n, d, rh)
+        out = cos_f * x + sin_f * (x @ perm.astype(jnp.float32))
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+class TestFusedDDIMWindow:
+    def test_full_loop_kernel_matches_xla_sampler(self):
+        """sample_windows_fused_loop (whole NFE loop in one kernel per
+        window) must match sample_windows(ddim) — same tolerance as the
+        per-step fused path. Needs the real 1536 latent_total_dim
+        (sample_windows allocates J.LATENT_DIM), so a dedicated tiny cfg."""
+        from syntalker_tpu import generation as G
+        from syntalker_tpu.diffusion.schedule import make_diffusion
+
+        cfg = MDMConfig(
+            latent_dim=64, ff_size=128, num_layers=2, num_heads=2,
+            rope_heads=4, audio_feat_dim=16, word_feat_dim=16,
+            word_embed_dim=8, vocab_size=32, dropout=0.0,
+        )
+        mdm, params = create_mdm(cfg, jax.random.PRNGKey(0), frames=128)
+        diffusion = make_diffusion(steps=100, timestep_respacing="ddim4")
+        plan = G.plan_windows(240)
+        assert plan.num_windows == 2
+        b = 2
+        g = np.random.default_rng(0)
+        aw = jnp.asarray(
+            g.normal(0, 0.1, (plan.num_windows, b, 533 * 128, 2)), jnp.float32
+        )
+        ww = jnp.zeros((plan.num_windows, b, 128), jnp.int32)
+        seed0 = jnp.asarray(
+            g.normal(size=(b, 4, cfg.latent_total_dim)), jnp.float32
+        )
+        key = jax.random.PRNGKey(7)
+
+        ref = G.sample_windows(
+            mdm, params, diffusion, plan, aw, ww, seed0, key, sampler="ddim"
+        )
+        out = G.sample_windows_fused_loop(
+            mdm, params, diffusion, plan, aw, ww, seed0, key, interpret=True
+        )
+        assert out.shape == ref.shape
+        err = float(jnp.abs(out - ref).max())
+        assert err < 2e-2, err
+
+
 class TestFusedDenoise:
     def test_matches_mdm_denoise(self, stack):
         """The whole fused serving denoise (pre/post XLA + Pallas stack)
