@@ -197,28 +197,25 @@ def main():
         }
 
         # ---- fused Pallas serving path (round 3) ------------------------
-        # One pallas_call per denoise step: 8 layers with bf16 weights
-        # streamed HBM->VMEM and the activation tile VMEM-resident across
-        # layers; 32 samples per grid step (best point of the
-        # scripts/time_fused_serving.py sweep since the per-sample batched
-        # attention landed — tokens-parallel matmuls see 256 MXU rows and
-        # attention pays no cross-sample waste). Dispatched as a 50-step host loop: the
-        # remote compiler handles the standalone kernel in seconds but
-        # stalls on the scan-embedded form (documented in
-        # docs/serving_roofline_round3.md); dispatches are async so the
-        # device stays saturated — measured 0.35 -> ~0.49 MFU.
-        from syntalker_tpu.ops.mdm_pallas import make_fused_denoise
+        # The production use_fused serving path: the ENTIRE 50-step DDIM
+        # loop is ONE pallas_call (grid (B/32, NFE, L)) — in/out
+        # projections, RoPE and the DDIM update run in-kernel, the
+        # (B, T, 1536) state and activations stay VMEM-resident between
+        # steps, bf16 layer weights restream under double buffering. Tile
+        # sweep (BASELINE.md): 32 samples/grid-step is the knee (64
+        # regresses on VMEM pressure). Relative to the round-3 per-step
+        # fused path this removes the ~25 ms/loop XLA in/out+RoPE+DDIM
+        # segment: 0.56 -> 0.65 MFU measured.
+        from syntalker_tpu.ops.mdm_pallas import make_fused_ddim_window
 
-        fused = make_fused_denoise(mdm_cfg, mdm_params, tile_samples=32)
-        te0 = jnp.tile(t_embs[0][None], (bs, 1))
-        xf = fused(x0, te0, cond)
-        jax.block_until_ready(xf)  # warm
+        fused = make_fused_ddim_window(
+            mdm_cfg, mdm_params, diffusion, tile_samples=32
+        )
+        jax.block_until_ready(fused(x0, cond))  # warm
         ft = []
         for _ in range(5):
-            x = x0
             t0 = time.perf_counter()
-            for _i in range(50):
-                x = fused(x, te0, cond)
+            x = fused(x0, cond)
             jax.device_get(x[0, 0, 0])
             ft.append(time.perf_counter() - t0)
         fused_wall = statistics.median(ft)

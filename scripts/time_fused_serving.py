@@ -1,10 +1,16 @@
 """Focused timing of the fused Pallas serving denoise (batch 256).
 
-Times the 50-NFE host-dispatched loop for several tile_samples values and
-prints ms/window + MFU per configuration. Used to iterate on the kernel
-without paying bench.py's full e2e path.
+Times the 50-NFE loop for several tile_samples values and prints
+ms/window + MFU per configuration. Used to iterate on the kernel without
+paying bench.py's full e2e path. Two modes:
 
-Run: python scripts/time_fused_serving.py [tile ...]
+- default: the per-step fused stack (`make_fused_denoise`), 50 host
+  dispatches per loop;
+- ``--loop``: the full-NFE-loop kernel (`make_fused_ddim_window`), the
+  whole 50-step DDIM loop as ONE pallas_call (the production use_fused
+  serving path — in/out projections, RoPE and the DDIM update in-kernel).
+
+Run: python scripts/time_fused_serving.py [--loop] [tile ...]
 """
 
 from __future__ import annotations
@@ -21,7 +27,7 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 V5E_PEAK_FLOPS = 197e12
 
 
-def main(tiles):
+def main(tiles, loop=False):
     import jax
     import jax.numpy as jnp
 
@@ -31,7 +37,9 @@ def main(tiles):
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from syntalker_tpu.models.denoiser import Conditioning, MDMConfig, create_mdm
-    from syntalker_tpu.ops.mdm_pallas import make_fused_denoise
+    from syntalker_tpu.ops.mdm_pallas import (
+        make_fused_ddim_window, make_fused_denoise,
+    )
 
     cfg = MDMConfig()
     rng = jax.random.PRNGKey(0)
@@ -63,21 +71,40 @@ def main(tiles):
     step_flops = bs * (L * block_flops + io_flops)
     loop_flops = 50 * step_flops
 
+    if loop:
+        from syntalker_tpu.diffusion.schedule import make_diffusion
+
+        diffusion = make_diffusion(
+            schedule="cosine", steps=1000, timestep_respacing="ddim50"
+        )
+
     for tile in tiles:
-        fused = make_fused_denoise(cfg, params, tile_samples=tile)
-        x = fused(x0, te0, cond)
-        jax.block_until_ready(x)
-        ts = []
-        for _ in range(5):
-            x = x0
-            t0 = time.perf_counter()
-            for _i in range(50):
-                x = fused(x, te0, cond)
-            jax.device_get(x[0, 0, 0])
-            ts.append(time.perf_counter() - t0)
+        if loop:
+            run = make_fused_ddim_window(
+                cfg, params, diffusion, tile_samples=tile
+            )
+            jax.block_until_ready(run(x0, cond))
+            ts = []
+            for _ in range(5):
+                t0 = time.perf_counter()
+                x = run(x0, cond)
+                jax.device_get(x[0, 0, 0])
+                ts.append(time.perf_counter() - t0)
+        else:
+            fused = make_fused_denoise(cfg, params, tile_samples=tile)
+            x = fused(x0, te0, cond)
+            jax.block_until_ready(x)
+            ts = []
+            for _ in range(5):
+                x = x0
+                t0 = time.perf_counter()
+                for _i in range(50):
+                    x = fused(x, te0, cond)
+                jax.device_get(x[0, 0, 0])
+                ts.append(time.perf_counter() - t0)
         wall = statistics.median(ts)
         print(
-            f"tile={tile}: {wall/bs*1e3:.3f} ms/window, "
+            f"{'loop ' if loop else ''}tile={tile}: {wall/bs*1e3:.3f} ms/window, "
             f"MFU {loop_flops/wall/V5E_PEAK_FLOPS:.3f} "
             f"(times {[round(x_*1e3) for x_ in ts]} ms)",
             flush=True,
@@ -85,5 +112,8 @@ def main(tiles):
 
 
 if __name__ == "__main__":
-    tiles = [int(a) for a in sys.argv[1:]] or [4, 8]
-    main(tiles)
+    args = sys.argv[1:]
+    loop = "--loop" in args
+    args = [a for a in args if a != "--loop"]
+    tiles = [int(a) for a in args] or ([16, 32] if loop else [4, 8])
+    main(tiles, loop=loop)

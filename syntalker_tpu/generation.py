@@ -218,6 +218,7 @@ def make_fused_loop_sampler(
     diffusion: DiffusionParams,
     plan: WindowPlan,
     *,
+    tile_samples: int = 1,
     interpret: bool = False,
 ):
     """Build the fused-loop windowed sampler: the ENTIRE NFE loop runs as
@@ -246,7 +247,8 @@ def make_fused_loop_sampler(
 
     variables = mdm_variables(mdm_params)
     fused = make_fused_ddim_window(
-        mdm.cfg, mdm_params, diffusion, interpret=interpret
+        mdm.cfg, mdm_params, diffusion, tile_samples=tile_samples,
+        interpret=interpret,
     )
     lw = plan.latent_window
     pre = plan.pre_frames
@@ -312,6 +314,7 @@ def sample_windows_fused_loop(
     init_seed: jax.Array,  # (B, pre_frames, 1536)
     rng: jax.Array,
     *,
+    tile_samples: int = 1,
     interpret: bool = False,
     fused=None,  # prebuilt make_fused_loop_sampler result
 ) -> jax.Array:
@@ -320,7 +323,8 @@ def sample_windows_fused_loop(
     — every call here re-traces the factory's jits."""
     if fused is None:
         fused = make_fused_loop_sampler(
-            mdm, mdm_params, diffusion, plan, interpret=interpret
+            mdm, mdm_params, diffusion, plan, tile_samples=tile_samples,
+            interpret=interpret,
         )
     return fused(audio_windows, word_windows, init_seed, rng)
 

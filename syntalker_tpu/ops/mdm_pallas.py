@@ -39,6 +39,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 F32 = jnp.float32
 
+# v5e has 128 MiB of physical VMEM; XLA's default *scoped* limit is 16 MiB,
+# which caps tile_samples at 32 (the tile-64 OOM shows as "scoped vmem limit
+# exceeded" at compile time). Raising the per-kernel limit lets the sweep
+# explore the real hardware ceiling; 100 MiB leaves headroom for the
+# pipeline's own double buffers.
+_VMEM_LIMIT = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+
 
 def _layer_norm(x, scale, bias, eps=1e-6):
     mean = jnp.mean(x, axis=-1, keepdims=True)
@@ -274,12 +281,12 @@ def rope_flat_tables(n: int, d: int, rope_heads: int):
 
 
 def _ddim_window_kernel(
-    # per-sample / per-step inputs
-    x_init_ref,  # (1, T, C) f32 initial noise, consumed at (step 0, layer 0)
+    # per-tile / per-step inputs (K = tile_samples; K=1 is the latency path)
+    x_init_ref,  # (K, T, C) f32 initial noise, consumed at (step 0, layer 0)
     temb_ref,  # (1, 1, D) f32 — this step's timestep embedding
     ca_ref, cb_ref,  # (1, 1, 1) f32 DDIM x/x0 coefficients for this step
-    seed_ref,  # (1, 1, D) f32 seed-latent embedding (per window)
-    at_ref,  # (1, T, A) f32 audio+word features (per window)
+    seed_ref,  # (K, 1, D) f32 seed-latent embedding (per window)
+    at_ref,  # (K, T, A) f32 audio+word features (per window)
     # resident tables / io weights
     cos_ref, sin_ref,  # (T, D) f32 flat RoPE tables
     p_ref,  # (D, D) bf16 RoPE half-swap matrix
@@ -290,11 +297,12 @@ def _ddim_window_kernel(
     ln1_s_ref, ln1_b_ref, wqkv_ref, wproj_ref, bproj_ref,
     ln2_s_ref, ln2_b_ref, wfc1_ref, bfc1_ref, wfc2_ref, bfc2_ref,
     # outputs / scratch
-    x_ref,  # (1, T, C) f32 — the DDIM state, revisited across all grid steps
-    act_ref,  # (T, D) f32 scratch — the block activation within one step
+    x_ref,  # (K, T, C) f32 — the DDIM state, revisited across all grid steps
+    act_ref,  # (K*T, D) f32 scratch — the block activation within one step
     *,
     num_heads: int,
     num_layers: int,
+    tile_samples: int,
 ):
     si = pl.program_id(1)
     li = pl.program_id(2)
@@ -304,24 +312,31 @@ def _ddim_window_kernel(
         x_ref[...] = x_init_ref[...]
 
     d = act_ref.shape[-1]
+    k, t, c = x_ref.shape
+    s = k * t
 
     @pl.when(li == 0)
     def _():
         # denoise-step prologue: input projections + RoPE, all VMEM-resident
-        x = x_ref[0]  # (T, C)
+        x = x_ref[...].reshape(s, c)
         x_emb = _dot(x.astype(jnp.bfloat16), w_in_ref[...]) + b_in_ref[0]
-        style = seed_ref[0] + temb_ref[0]  # (1, D), broadcasts over T
-        # concat([style, x_emb, at]) @ w_in2 as three row-block matmuls
+        style = seed_ref[...] + temb_ref[...]  # (K, 1, D)
+        # concat([style, x_emb, at]) @ w_in2 as three row-block matmuls;
+        # the per-sample style row broadcasts over its T tokens
+        style_p = _dot(style.reshape(k, d).astype(jnp.bfloat16), w_in2_ref[0:d])
         h = (
-            _dot(style.astype(jnp.bfloat16), w_in2_ref[0:d])
+            jnp.broadcast_to(style_p[:, None, :], (k, t, d)).reshape(s, d)
             + _dot(x_emb.astype(jnp.bfloat16), w_in2_ref[d : 2 * d])
-            + _dot(at_ref[0].astype(jnp.bfloat16), w_in2_ref[2 * d :])
+            + _dot(at_ref[...].reshape(s, -1).astype(jnp.bfloat16), w_in2_ref[2 * d :])
             + b_in2_ref[0]
         )
-        h = cos_ref[...] * h + sin_ref[...] * _dot(
-            h.astype(jnp.bfloat16), p_ref[...]
+        # flat-layout RoPE; the (T, D) tables broadcast over the K samples
+        hp = _dot(h.astype(jnp.bfloat16), p_ref[...])
+        h = (
+            cos_ref[...][None] * h.reshape(k, t, d)
+            + sin_ref[...][None] * hp.reshape(k, t, d)
         )
-        act_ref[...] = h
+        act_ref[...] = h.reshape(s, d)
 
     act_ref[...] = _block_math(
         act_ref[...],
@@ -331,18 +346,19 @@ def _ddim_window_kernel(
         ln2_s_ref[0, 0], ln2_b_ref[0, 0],
         wfc1_ref[0], bfc1_ref[0, 0],
         wfc2_ref[0], bfc2_ref[0, 0],
-        num_heads=num_heads, tile_samples=1,
+        num_heads=num_heads, tile_samples=tile_samples,
     )
 
     @pl.when(li == num_layers - 1)
     def _():
         # output projection + the η=0 DDIM update: x <- a*x + b*x0
         x0 = _dot(act_ref[...].astype(jnp.bfloat16), w_out_ref[...]) + b_out_ref[0]
-        x_ref[0] = ca_ref[0, 0] * x_ref[0] + cb_ref[0, 0] * x0
+        x_ref[...] = ca_ref[0, 0] * x_ref[...] + cb_ref[0, 0] * x0.reshape(k, t, c)
 
 
-def make_fused_ddim_window(cfg, params, diffusion, *, interpret: bool = False):
-    """Whole-window DDIM sampler as ONE pallas_call: grid (B, NFE, L).
+def make_fused_ddim_window(cfg, params, diffusion, *, tile_samples: int = 1,
+                           interpret: bool = False):
+    """Whole-window DDIM sampler as ONE pallas_call: grid (B/K, NFE, L).
 
     The batch-1 latency path spends ~150 µs per NFE step in the XLA scan —
     the 8-block stack is only ~45 µs; the rest is the in/out projections,
@@ -351,6 +367,14 @@ def make_fused_ddim_window(cfg, params, diffusion, *, interpret: bool = False):
     and the activation in VMEM for the whole window; per-layer weights
     restream each step under the pipeline's double buffering (12.5 MB bf16
     x NFE — ~0.8 ms of HBM traffic at 50 NFE, fully overlapped).
+
+    ``tile_samples`` (K) is the serving-throughput knob, as in
+    :func:`fused_block_stack`: K samples share a grid step so the
+    token-parallel matmuls see K*T rows. Relative to the per-step serving
+    path (:func:`make_fused_denoise` + host loop) this additionally moves
+    the in/out projections, RoPE and the DDIM update in-kernel — the
+    (B, T, 1536) state never round-trips HBM between steps (measured
+    ~25 ms of the 140 ms 50-NFE loop at batch 256).
 
     Scope matches :func:`syntalker_tpu.generation.sample_windows_fused`:
     DDIM η=0, no CFG/prompt/style. Returns ``run(x_init, cond) -> x_final``
@@ -402,10 +426,12 @@ def make_fused_ddim_window(cfg, params, diffusion, *, interpret: bool = False):
     # constants and stalls the remote compiler — see make_fused_denoise)
     @functools.partial(
         jax.jit,
-        static_argnames=("num_heads", "rope_heads", "num_layers", "interpret"),
+        static_argnames=(
+            "num_heads", "rope_heads", "num_layers", "tile_samples", "interpret"
+        ),
     )
     def _impl(io, w, t_embs, coef_a, coef_b, x_init, seed_emb, at_feat, *,
-              num_heads, rope_heads, num_layers, interpret):
+              num_heads, rope_heads, num_layers, tile_samples, interpret):
         b, t, c = x_init.shape
         d = io["w_in"].shape[-1]
         a_dim = io["w_in2"].shape[0] - 2 * d
@@ -413,6 +439,11 @@ def make_fused_ddim_window(cfg, params, diffusion, *, interpret: bool = False):
         cos_f, sin_f, perm = rope_flat_tables(t, d, rope_heads)
         at = at_feat[:, :t, :a_dim].astype(F32)
         seed = seed_emb[:, None, :].astype(F32)
+        if b % tile_samples:
+            raise ValueError(
+                f"batch {b} not divisible by tile_samples={tile_samples}"
+            )
+        k = tile_samples
 
         def const(shape):
             return pl.BlockSpec(
@@ -421,8 +452,9 @@ def make_fused_ddim_window(cfg, params, diffusion, *, interpret: bool = False):
             )
 
         def per_b(shape):
+            # one K-sample tile per outer grid step
             return pl.BlockSpec(
-                (1,) + shape, lambda bi, si, li: (bi,) + (0,) * len(shape),
+                (k,) + shape, lambda bi, si, li: (bi,) + (0,) * len(shape),
                 memory_space=pltpu.VMEM,
             )
 
@@ -441,9 +473,10 @@ def make_fused_ddim_window(cfg, params, diffusion, *, interpret: bool = False):
         f = w["wfc1"].shape[-1]
         return pl.pallas_call(
             functools.partial(
-                _ddim_window_kernel, num_heads=num_heads, num_layers=num_layers
+                _ddim_window_kernel, num_heads=num_heads,
+                num_layers=num_layers, tile_samples=k,
             ),
-            grid=(b, s, num_layers),
+            grid=(b // k, s, num_layers),
             in_specs=[
                 per_b((t, c)),  # x_init
                 per_s((1, d)),  # t_emb
@@ -463,11 +496,12 @@ def make_fused_ddim_window(cfg, params, diffusion, *, interpret: bool = False):
                 per_l((f, d)), per_l((1, d)),  # fc2
             ],
             out_specs=pl.BlockSpec(
-                (1, t, c), lambda bi, si, li: (bi, 0, 0),
+                (k, t, c), lambda bi, si, li: (bi, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             out_shape=jax.ShapeDtypeStruct((b, t, c), F32),
-            scratch_shapes=[pltpu.VMEM((t, d), F32)],
+            scratch_shapes=[pltpu.VMEM((k * t, d), F32)],
+            compiler_params=_VMEM_LIMIT,
             interpret=interpret,
         )(
             x_init.astype(F32), t_embs, coef_a, coef_b, seed, at,
@@ -482,7 +516,8 @@ def make_fused_ddim_window(cfg, params, diffusion, *, interpret: bool = False):
         return _impl(
             io, w, t_embs, coef_a, coef_b, x_init, cond.seed_emb, cond.at_feat,
             num_heads=cfg.num_heads, rope_heads=cfg.rope_heads,
-            num_layers=cfg.num_layers, interpret=interpret,
+            num_layers=cfg.num_layers, tile_samples=tile_samples,
+            interpret=interpret,
         )
 
     return run
@@ -537,6 +572,7 @@ def fused_block_stack(
             (1, s, d), lambda bi, li: (bi, 0, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((n_tiles, s, d), F32),
+        compiler_params=_VMEM_LIMIT,
         interpret=interpret,
     )(
         xt,

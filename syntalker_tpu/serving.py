@@ -71,6 +71,7 @@ class MotionGenerationService:
         fps: int = 30,
         max_wait_s: float = 0.05,
         use_fused: bool = False,
+        fused_loop: bool = True,
         tile_samples: int = 32,
         mesh: Optional[jax.sharding.Mesh] = None,
     ):
@@ -140,15 +141,28 @@ class MotionGenerationService:
             )
             return
         if use_fused:
-            from syntalker_tpu.ops.mdm_pallas import make_fused_denoise
-
             tile = max(
                 t for t in range(1, tile_samples + 1) if max_batch % t == 0
             )
-            self._fused = make_fused_denoise(
-                mdm.cfg, mdm_params, tile_samples=tile
-            )
-            self._jitted = self._generate_batch_fused
+            if fused_loop:
+                # whole-NFE-loop kernel: ONE pallas_call per window (in/out
+                # projections, RoPE and the DDIM update in-kernel — the
+                # (B, T, 1536) state never round-trips HBM between steps).
+                # Measured at the batch-256 knee: 0.478 ms/window, MFU 0.655
+                # vs 0.56 for the per-step fused path (tile sweep in
+                # BASELINE.md; tile 32 is the knee, 64 regresses on VMEM
+                # pressure).
+                self._fused_sampler = G.make_fused_loop_sampler(
+                    mdm, mdm_params, diffusion, self.plan, tile_samples=tile
+                )
+                self._jitted = self._generate_batch_fused_loop
+            else:
+                from syntalker_tpu.ops.mdm_pallas import make_fused_denoise
+
+                self._fused = make_fused_denoise(
+                    mdm.cfg, mdm_params, tile_samples=tile
+                )
+                self._jitted = self._generate_batch_fused
             self._jitted_decode = jax.jit(self._decode)
         else:
             # (On the CPU backend donation is a no-op that only warns — skip.)
@@ -178,6 +192,10 @@ class MotionGenerationService:
             self.mdm, self.mdm_params, self.diffusion, self.plan,
             aw, ww, seed, key, fused=self._fused,
         )
+        return self._jitted_decode(latents)
+
+    def _generate_batch_fused_loop(self, aw, ww, seed, key):
+        latents = self._fused_sampler(aw, ww, seed, key)
         return self._jitted_decode(latents)
 
     def _prepare(self, req: MotionRequest):

@@ -146,6 +146,15 @@ class TestFusedDDIMWindow:
         err = float(jnp.abs(out - ref).max())
         assert err < 2e-2, err
 
+        # serving variant: K samples per grid step must match the XLA path
+        # just as tightly (attention is per-sample batched inside the tile)
+        tiled = G.sample_windows_fused_loop(
+            mdm, params, diffusion, plan, aw, ww, seed0, key,
+            tile_samples=2, interpret=True,
+        )
+        err = float(jnp.abs(tiled - ref).max())
+        assert err < 2e-2, err
+
 
 class TestFusedDenoise:
     def test_matches_mdm_denoise(self, stack):

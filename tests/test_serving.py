@@ -231,7 +231,8 @@ class TestFusedServingPath:
         assert err < 2e-2, err  # bf16-stored weights; same bound as
         # tests/test_mdm_pallas.py pins for the kernel alone
 
-    def test_service_use_fused_smoke(self, monkeypatch):
+    @pytest.mark.parametrize("fused_loop", [False, True])
+    def test_service_use_fused_smoke(self, monkeypatch, fused_loop):
         import functools
 
         from syntalker_tpu.ops import mdm_pallas
@@ -239,6 +240,14 @@ class TestFusedServingPath:
         monkeypatch.setattr(
             mdm_pallas, "make_fused_denoise",
             functools.partial(mdm_pallas.make_fused_denoise, interpret=True),
+        )
+        # patch the sampler factory, not make_fused_ddim_window: the factory
+        # passes interpret= explicitly, which would override a partial there
+        from syntalker_tpu import generation as G_mod
+
+        monkeypatch.setattr(
+            G_mod, "make_fused_loop_sampler",
+            functools.partial(G_mod.make_fused_loop_sampler, interpret=True),
         )
         rng = jax.random.PRNGKey(0)
         mdm, params = self._tiny()
@@ -253,7 +262,7 @@ class TestFusedServingPath:
         svc = MotionGenerationService(
             mdm=mdm, mdm_params=params, diffusion=make_diffusion(steps=2),
             rvq_modules=rvq, stats=identity_pose_stats(), max_batch=2,
-            max_seconds=128 / 30, use_fused=True,
+            max_seconds=128 / 30, use_fused=True, fused_loop=fused_loop,
         )
         wav = np.random.default_rng(1).normal(0, 0.1, 16000 * 2).astype(np.float32)
         svc.submit(MotionRequest(audio=wav, request_id="f0"))
