@@ -108,8 +108,11 @@ def main():
     stats = identity_pose_stats()
 
     def e2e(aw, ww, seed0, key):
-        latents = G.sample_windows(
-            mdm, mdm_params, diffusion, plan, aw, ww, seed0, key, sampler="ddim"
+        # the lean DDIM sampler: algebraically-folded projections + the
+        # two-coefficient update — parity-pinned vs sample_windows(ddim)
+        # (tests/test_generation.py), ~11% faster at batch 1 on chip
+        latents = G.sample_windows_lean(
+            mdm, mdm_params, diffusion, plan, aw, ww, seed0, key
         )
         out = G.decode_latents(latents, rvq_modules=rvq_modules, stats=stats)
         return out["axis_angle"], out["trans"]

@@ -212,6 +212,112 @@ def sample_windows(
     return jnp.concatenate([first, rest], axis=1)
 
 
+def sample_windows_lean(
+    mdm: MDM,
+    mdm_params,
+    diffusion: DiffusionParams,
+    plan: WindowPlan,
+    audio_windows: jax.Array,  # (W, B, S_w, 2)
+    word_windows: jax.Array,  # (W, B, pose_length)
+    init_seed: jax.Array,  # (B, pre_frames, 1536)
+    rng: jax.Array,
+) -> jax.Array:
+    """Latency-optimized windowed DDIM sampler (the batch-1 flagship path).
+
+    Same math as :func:`sample_windows` (sampler="ddim", η=0, no
+    CFG/prompt/style), restructured so the NFE scan body is as small as
+    XLA allows — at batch 1 the step cost is fixed-overhead-per-op bound
+    (~105 µs of the ~150 µs step is outside the 45 µs block stack), so
+    fewer/larger ops in the scan body is the lever:
+
+    - ``input_process`` and the x_emb slab of ``input_process2`` fold into
+      ONE (1536, 512) matmul: ``x @ (W_in @ W2_mid)`` — exact algebra,
+      precomputed once per call;
+    - the audio/word slab (``at @ W2_at``) and every bias are precomputed
+      per window; the style row ``(seed_emb + t_emb) @ W2_style`` splits
+      into a per-window seed row + per-schedule timestep rows (linearity),
+      so the scan body adds two precomputed vectors instead of running a
+      concat + (T, 1280) matmul;
+    - the η=0 DDIM update is the two-coefficient form
+      ``x' = a_i x + b_i x0`` (coefficients precomputed over the schedule,
+      same derivation as ops.mdm_pallas.make_fused_ddim_window);
+    - per step only ``run_blocks`` (the shared 'blocks' scope) goes through
+      flax.
+
+    RNG consumption is bit-identical to :func:`sample_windows` + η=0
+    ``ddim_sample`` (the σ=0 noise draw there multiplies to exact zero, so
+    skipping it changes nothing). Everything is jit-compatible: the window
+    loop is a ``lax.scan``, so whole-clip generation stays ONE program.
+    Numerics match sample_windows(ddim) to f32 re-association tolerance
+    (parity-pinned in tests/test_generation.py).
+    """
+    cfg = mdm.cfg
+    b = audio_windows.shape[1]
+    lw = plan.latent_window
+    shape = (b, lw, J.LATENT_DIM)
+    variables = mdm_variables(mdm_params)
+    p = variables["params"]
+    d = cfg.latent_dim
+
+    tmap = jnp.asarray(diffusion.timestep_map)
+    t_emb_all = mdm.apply(variables, tmap, method="embed_timesteps")
+
+    # exact algebraic folds (all f32, hoisted out of both scans by XLA)
+    w_in, b_in = p["input_process"]["kernel"], p["input_process"]["bias"]
+    w2, b2 = p["input_process2"]["kernel"], p["input_process2"]["bias"]
+    w2_style, w2_mid, w2_at = w2[:d], w2[d : 2 * d], w2[2 * d :]
+    w_x = w_in @ w2_mid  # (1536, 512)
+    bias_c = b_in @ w2_mid + b2  # (512,)
+    w_out, b_out = p["output_process"]["kernel"], p["output_process"]["bias"]
+
+    # DDIM η=0 coefficients in iteration order (see make_fused_ddim_window)
+    s_steps = diffusion.num_steps
+    idx = np.arange(s_steps - 1, -1, -1)
+    abar_prev = np.asarray(diffusion.alphas_cumprod_prev, np.float64)[idx]
+    r = np.asarray(diffusion.sqrt_recip_alphas_cumprod, np.float64)[idx]
+    rm1 = np.asarray(diffusion.sqrt_recipm1_alphas_cumprod, np.float64)[idx]
+    s1m = np.sqrt(np.maximum(1.0 - abar_prev, 0.0))
+    coef_a = jnp.asarray(s1m * r / rm1, jnp.float32)
+    coef_b = jnp.asarray(np.sqrt(abar_prev) - s1m / rm1, jnp.float32)
+    # timestep rows through the style slab, iteration order
+    t_rows = (t_emb_all @ w2_style)[::-1]  # (S, 512)
+
+    from syntalker_tpu.models.denoiser import apply_rope, rope_angles
+
+    hd = d // cfg.rope_heads
+    angles = rope_angles(lw, hd)[:, None, :]
+
+    def body(carry, xs):
+        seed, key = carry
+        audio, word = xs
+        key, k_samp = _rng_split(key)
+        cond = mdm.apply(variables, audio, word, seed, method="encode_cond")
+        at_c = cond.at_feat[:, :lw] @ w2_at + bias_c  # (B, T, 512)
+        seed_row = cond.seed_emb @ w2_style  # (B, 512)
+
+        k_samp, k0 = _rng_split(k_samp)
+        x0_noise = _rng_normal(k0, shape)
+
+        def step(x, it):
+            h = x @ w_x + at_c + (seed_row + t_rows[it])[:, None, :]
+            xh = h.reshape(b, lw, cfg.rope_heads, hd)
+            h = apply_rope(xh, angles).reshape(b, lw, d)
+            h = mdm.apply(variables, h, method="run_blocks")
+            x0 = h @ w_out + b_out
+            return coef_a[it] * x + coef_b[it] * x0, None
+
+        x, _ = jax.lax.scan(step, x0_noise, jnp.arange(s_steps))
+        return (x[:, -plan.pre_frames :, :], key), x
+
+    (_, _), windows = jax.lax.scan(
+        body, (init_seed, rng), (audio_windows, word_windows)
+    )
+    first = windows[0]
+    rest = windows[1:, :, plan.pre_frames :, :]
+    rest = jnp.moveaxis(rest, 0, 1).reshape(b, -1, J.LATENT_DIM)
+    return jnp.concatenate([first, rest], axis=1)
+
+
 def make_fused_loop_sampler(
     mdm: MDM,
     mdm_params,

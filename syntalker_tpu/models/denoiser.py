@@ -491,6 +491,14 @@ class MDM(nn.Module):
         xh = apply_rope(xh, rope_angles(n, hd)[:, None, :])
         xseq = xh.reshape(b, n, c.latent_dim)
 
+        xseq = self._blocks(xseq, train)
+
+        return _Dense(c.latent_total_dim, name="output_process")(xseq)
+
+    def _blocks(self, xseq: jax.Array, train: bool) -> jax.Array:
+        """The bare transformer stack; shared scope ('blocks' / 'block_i')
+        between :meth:`denoise` and :meth:`run_blocks`."""
+        c = self.cfg
         xseq = xseq.astype(c.dtype)
         if c.scan_blocks:
             body = nn.remat(_ScanBlockBody) if c.remat else _ScanBlockBody
@@ -520,9 +528,17 @@ class MDM(nn.Module):
                     dtype=c.dtype,
                     name=f"block_{i}",
                 )(xseq, train=train)
-        xseq = xseq.astype(jnp.float32)
+        return xseq.astype(jnp.float32)
 
-        return _Dense(c.latent_total_dim, name="output_process")(xseq)
+    @nn.compact
+    def run_blocks(self, xseq: jax.Array, *, train: bool = False) -> jax.Array:
+        """Apply only the transformer stack to a prepared (B, T, latent)
+        sequence. Used by the lean latency sampler
+        (:func:`syntalker_tpu.generation.sample_windows_lean`), which
+        precomputes every conditioning projection outside the NFE scan and
+        needs just the blocks per step. Parameter paths are identical to
+        :meth:`denoise` (same 'blocks' scope), so any checkpoint works."""
+        return self._blocks(xseq, train)
 
     def __call__(
         self,

@@ -181,9 +181,13 @@ class MotionGenerationService:
         return dec["axis_angle"], dec["trans"]
 
     def _generate_batch(self, aw, ww, seed, key):
-        latents = G.sample_windows(
+        # lean = sample_windows(ddim) with the conditioning projections
+        # algebraically folded out of the NFE scan (parity-pinned); the
+        # serving scope is DDIM/no-CFG, exactly lean's scope. Pure XLA, so
+        # it shards transparently under the data-parallel mesh option.
+        latents = G.sample_windows_lean(
             self.mdm, self.mdm_params, self.diffusion, self.plan,
-            aw, ww, seed, key, sampler="ddim",
+            aw, ww, seed, key,
         )
         return self._decode(latents)
 

@@ -85,6 +85,31 @@ class TestSampleWindows:
         assert out1.shape == (b, plan.out_latent_frames, J.LATENT_DIM)
         np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
 
+    def test_lean_sampler_matches_ddim(self, tiny_stack):
+        """sample_windows_lean's algebraic folds (input_process ∘ W2_mid as
+        one matmul, per-schedule style rows, two-coefficient DDIM update)
+        are exact up to f32 re-association — parity with the reference
+        ddim path must be tight, unlike the bf16-weight Pallas bounds."""
+        mdm, params, diffusion = tiny_stack
+        plan = G.plan_windows(240)  # 2 windows: exercises the seed carry
+        b = 2
+        g = np.random.default_rng(3)
+        audio = g.normal(0, 0.1, (b, 533 * 240, 2)).astype(np.float32)
+        words = np.zeros((b, 240), np.int32)
+        aw = jnp.asarray(G.window_audio(audio, plan))
+        ww = jnp.asarray(G.window_words(words, plan))
+        seed = jnp.asarray(g.normal(size=(b, plan.pre_frames, J.LATENT_DIM)), jnp.float32)
+        key = jax.random.PRNGKey(11)
+        ref = G.sample_windows(
+            mdm, params, diffusion, plan, aw, ww, seed, key, sampler="ddim"
+        )
+        lean = G.sample_windows_lean(
+            mdm, params, diffusion, plan, aw, ww, seed, key
+        )
+        assert lean.shape == ref.shape
+        err = float(jnp.abs(lean - ref).max())
+        assert err < 1e-3, err
+
     def test_bodypart_cfg_path_runs(self, tiny_stack):
         mdm0, _, diffusion = tiny_stack
         cfg = MDMConfig(**{**TINY_MDM.__dict__, "use_prompt": True, "prompt_dim": 8})
