@@ -1,0 +1,323 @@
+"""Streaming audio→motion generation: push audio chunks, receive motion.
+
+A capability the reference does not have (its demo generates only whole
+clips, demo.py:700-761), but one the windowed autoregressive design makes
+natural: each 128-frame window depends on the past only through the
+4-latent-frame seed, so motion can be emitted while audio is still
+arriving. A live avatar session is:
+
+    sess = StreamingMotionSession(mdm=..., mdm_params=..., diffusion=...,
+                                  rvq_modules=..., stats=...)
+    for chunk in microphone():            # arbitrary chunk sizes
+        for seg in sess.push_audio(chunk):
+            play(seg["axis_angle"], seg["trans"])
+    tail = sess.finish()
+
+Design notes (why the emission lags the audio):
+
+- **Window cadence.** A window covers ``pose_length`` (128) frames of
+  audio and yields ``round_l`` (112) fresh frames; window *w* can run only
+  once audio through frame ``w*112 + 128`` has arrived.
+- **Decoder lookahead.** The RVQ ConvDecoder is non-causal (dilated convs,
+  SAME-style padding): a motion frame is influenced by latents up to ~23
+  latent frames away, with the influence decaying fast (measured: ≤7e-3
+  of output scale beyond 8, ≤5e-4 beyond 16, exactly 0 beyond 23 —
+  tests/test_streaming.py pins the chosen margins). Emitted frames are
+  therefore held back ``lookahead`` latent frames so their right context
+  exists, and each chunk is decoded with ``lookback`` latent frames of
+  history; both knobs trade latency for fidelity to offline decode.
+- **Translation carry.** Offline decode integrates the lower-body
+  translation velocity over the whole clip (generation.decode_parts); the
+  session carries the running x/z integral across windows so streamed
+  translation equals the offline cumsum up to float re-association.
+
+The sampler math is exactly :func:`generation.sample_windows_lean` (DDIM
+η=0, no CFG/prompt/style) run one window at a time with the identical RNG
+split chain, so the streamed latents match the offline batch sampler and
+the parity/quality results carry over.
+
+**One program per window.** On a remote-attached chip every eager op and
+every array fetch pays the relay round trip (~30 ms; CLAUDE.md), so the
+session keeps ALL device state — the seed, the RNG key, a fixed
+``lookback+lookahead`` latent tail ring, and the translation carry — as a
+pytree threaded through exactly three fixed-shape jitted programs (first
+window / steady window / flush). A steady window is one dispatch + one
+audio upload + one segment download (~220 KB); the naive eager-buffer
+version of this class measured ~1 s per window through the tunnel, this
+one ~10× less.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from syntalker_tpu import generation as G
+from syntalker_tpu.data import joints as J
+from syntalker_tpu.diffusion.core import _rng_normal, _rng_split
+from syntalker_tpu.models.denoiser import mdm_variables
+
+
+@dataclasses.dataclass
+class StreamStats:
+    windows_run: int = 0
+    frames_emitted: int = 0
+
+
+class StreamingMotionSession:
+    """Incremental windowed generation with bounded, documented latency.
+
+    Algorithmic latency = one window (``pose_length`` frames of audio must
+    arrive before the window runs) + ``lookahead * squeeze`` frames of
+    decoder hold-back; at the defaults that is 128 + 32 frames ≈ 5.3 s of
+    audio-to-motion lag, dominated by the window size the reference's
+    training scheme fixes. Per-window compute is a few ms on one v5e chip
+    (~3.7 s of audio per window — one chip sustains hundreds of concurrent
+    sessions; see ``MotionGenerationService`` for the batched form).
+    """
+
+    def __init__(
+        self,
+        *,
+        mdm,
+        mdm_params,
+        diffusion,
+        rvq_modules: dict,
+        stats,
+        latent_scale: float = 5.0,
+        sr: int = 16000,
+        fps: int = 30,
+        pose_length: int = 128,
+        pre_frames: int = 4,
+        squeeze: int = 4,
+        lookback: int = 16,
+        lookahead: int = 8,
+        rng: Optional[jax.Array] = None,
+    ):
+        self.mdm, self.mdm_params = mdm, mdm_params
+        self.diffusion = diffusion
+        self.rvq_modules = rvq_modules
+        self.stats = stats
+        self.latent_scale = latent_scale
+        self.sr, self.fps = sr, fps
+        self.spf = sr // fps
+        self.pose_length = pose_length
+        self.pre_frames = pre_frames
+        self.squeeze = squeeze
+        self.lw = pose_length // squeeze
+        self.round_l = pose_length - pre_frames * squeeze
+        self.fresh_lat = self.lw - pre_frames
+        self.lookback = lookback
+        self.lookahead = lookahead
+        if lookback + lookahead > self.lw:
+            raise ValueError("lookback+lookahead must fit in one window")
+
+        self._audio = np.zeros((0, 2), np.float32)
+        self._words = np.zeros((0,), np.int32)
+        self._w = 0
+        self._frame_start = 0
+        # device-resident session state, threaded through the jitted steps
+        self._state = {
+            "seed": jnp.zeros((1, pre_frames, J.LATENT_DIM)),
+            "tail": jnp.zeros((1, lookback + lookahead, J.LATENT_DIM)),
+            "key": rng if rng is not None else jax.random.PRNGKey(0),
+            "carry": jnp.zeros((3,), jnp.float32),  # x/z integral; y unused
+        }
+        self.stream_stats = StreamStats()
+
+        self._first = jax.jit(self._first_impl)
+        self._steady = jax.jit(self._steady_impl)
+        self._flush = jax.jit(self._flush_impl)
+
+    # ------------------------------------------------------------------
+    # device programs
+
+    def _sample_one_window(self, audio, word, seed, k_samp):
+        """One window of the lean DDIM sampler: identical math and RNG
+        consumption to one iteration of sample_windows_lean's window scan."""
+        from syntalker_tpu.models.denoiser import apply_rope, rope_angles
+
+        mdm, cfg = self.mdm, self.mdm.cfg
+        d = cfg.latent_dim
+        lw = self.lw
+        variables = mdm_variables(self.mdm_params)
+        p = variables["params"]
+
+        tmap = jnp.asarray(self.diffusion.timestep_map)
+        t_emb_all = mdm.apply(variables, tmap, method="embed_timesteps")
+        w2 = p["input_process2"]["kernel"]
+        w_x = p["input_process"]["kernel"] @ w2[d : 2 * d]
+        bias_c = (
+            p["input_process"]["bias"] @ w2[d : 2 * d]
+            + p["input_process2"]["bias"]
+        )
+        w_out = p["output_process"]["kernel"]
+        b_out = p["output_process"]["bias"]
+
+        s_steps = self.diffusion.num_steps
+        idx = np.arange(s_steps - 1, -1, -1)
+        abar_prev = np.asarray(self.diffusion.alphas_cumprod_prev, np.float64)[idx]
+        r = np.asarray(self.diffusion.sqrt_recip_alphas_cumprod, np.float64)[idx]
+        rm1 = np.asarray(self.diffusion.sqrt_recipm1_alphas_cumprod, np.float64)[idx]
+        s1m = np.sqrt(np.maximum(1.0 - abar_prev, 0.0))
+        coef_a = jnp.asarray(s1m * r / rm1, jnp.float32)
+        coef_b = jnp.asarray(np.sqrt(abar_prev) - s1m / rm1, jnp.float32)
+        t_rows = (t_emb_all @ w2[:d])[::-1]
+
+        hd = d // cfg.rope_heads
+        angles = rope_angles(lw, hd)[:, None, :]
+
+        cond = mdm.apply(variables, audio, word, seed, method="encode_cond")
+        at_c = cond.at_feat[:, :lw] @ w2[2 * d :] + bias_c
+        seed_row = cond.seed_emb @ w2[:d]
+        k_samp, k0 = _rng_split(k_samp)
+        x = _rng_normal(k0, (1, lw, J.LATENT_DIM))
+
+        def step(x, it):
+            h = x @ w_x + at_c + (seed_row + t_rows[it])[:, None, :]
+            xh = h.reshape(1, lw, cfg.rope_heads, hd)
+            h = apply_rope(xh, angles).reshape(1, lw, d)
+            h = mdm.apply(variables, h, method="run_blocks")
+            x0 = h @ w_out + b_out
+            return coef_a[it] * x + coef_b[it] * x0, None
+
+        x, _ = jax.lax.scan(step, x, jnp.arange(s_steps))
+        return x
+
+    def _decode(self, latents):
+        return G.decode_latents(
+            latents,
+            rvq_modules=self.rvq_modules,
+            stats=self.stats,
+            latent_scale=self.latent_scale,
+        )
+
+    def _emit_from(self, dec, s_lat, e_lat, carry):
+        """Slice decoded frames [s_lat*4, e_lat*4) out of a chunk decode and
+        rebase the translation cumsum onto the global carry."""
+        sq = self.squeeze
+        s, e = s_lat * sq, e_lat * sq
+        tr = dec["trans"][0]
+        base = tr[s - 1] if s > 0 else jnp.zeros(3)  # s is static
+        seg_tr = tr[s:e]
+        adj = (carry - base) * jnp.asarray([1.0, 0.0, 1.0])  # y not integrated
+        seg = {
+            "rot6d": dec["rot6d"][0, s:e],
+            "axis_angle": dec["axis_angle"][0, s:e],
+            "trans": seg_tr + adj[None, :],
+        }
+        new_carry = carry + (tr[e - 1] - base) * jnp.asarray([1.0, 0.0, 1.0])
+        return seg, new_carry
+
+    def _first_impl(self, audio, word, state):
+        key, k_samp = _rng_split(state["key"])
+        x = self._sample_one_window(audio, word, state["seed"], k_samp)
+        emit = self.lw - self.lookahead
+        dec = self._decode(x)
+        seg, carry = self._emit_from(dec, 0, emit, state["carry"])
+        new = {
+            "seed": x[:, -self.pre_frames :, :],
+            "tail": x[:, emit - self.lookback :, :],
+            "key": key,
+            "carry": carry,
+        }
+        return seg, new
+
+    def _steady_impl(self, audio, word, state):
+        key, k_samp = _rng_split(state["key"])
+        x = self._sample_one_window(audio, word, state["seed"], k_samp)
+        fresh = x[:, self.pre_frames :, :]  # 28 latents
+        buf = jnp.concatenate([state["tail"], fresh], axis=1)
+        # tail spans [E-lookback, E+lookahead); emit [E, E+fresh)
+        dec = self._decode(buf)
+        s = self.lookback
+        e = s + self.fresh_lat
+        seg, carry = self._emit_from(dec, s, e, state["carry"])
+        new = {
+            "seed": x[:, -self.pre_frames :, :],
+            "tail": buf[:, self.fresh_lat :, :],
+            "key": key,
+            "carry": carry,
+        }
+        return seg, new
+
+    def _flush_impl(self, state):
+        dec = self._decode(state["tail"])
+        s = self.lookback
+        e = s + self.lookahead
+        seg, carry = self._emit_from(dec, s, e, state["carry"])
+        return seg, {**state, "carry": carry}
+
+    # ------------------------------------------------------------------
+
+    def push_audio(
+        self, chunk: np.ndarray, words: Optional[np.ndarray] = None
+    ) -> List[Dict[str, np.ndarray]]:
+        """Append a 16 kHz feature chunk ((S, 2) onset+amplitude channels,
+        see data.audio.onset_amplitude_features) and run every window whose
+        audio is now complete. Returns the newly emitted motion segments."""
+        chunk = np.asarray(chunk, np.float32)
+        if chunk.ndim != 2 or chunk.shape[1] != 2:
+            raise ValueError(f"expected (S, 2) feature chunk, got {chunk.shape}")
+        self._audio = np.concatenate([self._audio, chunk])
+        if words is not None:
+            self._words = np.concatenate(
+                [self._words, np.asarray(words, np.int32)]
+            )
+        out = []
+        while self._window_ready():
+            out.append(self._run_window())
+        return out
+
+    def _window_ready(self) -> bool:
+        need = (self._w * self.round_l + self.pose_length) * self.spf
+        return self._audio.shape[0] >= need
+
+    def _window_inputs(self):
+        start_f = self._w * self.round_l
+        s0 = start_f * self.spf
+        s1 = s0 + self.pose_length * self.spf
+        a = self._audio[s0:s1]
+        if a.shape[0] < self.pose_length * self.spf:
+            a = np.pad(a, ((0, self.pose_length * self.spf - a.shape[0]), (0, 0)))
+        w = self._words[start_f : start_f + self.pose_length]
+        if w.shape[0] < self.pose_length:
+            w = np.pad(w, (0, self.pose_length - w.shape[0]))
+        return jnp.asarray(a[None]), jnp.asarray(w[None])
+
+    def _run_window(self) -> Dict[str, np.ndarray]:
+        audio, word = self._window_inputs()
+        stepf = self._first if self._w == 0 else self._steady
+        seg_dev, self._state = stepf(audio, word, self._state)
+        seg = jax.device_get(seg_dev)  # ONE fetch per window
+        seg["frame_start"] = self._frame_start
+        self._frame_start += len(seg["axis_angle"])
+        self._w += 1
+        self.stream_stats.windows_run += 1
+        self.stream_stats.frames_emitted += len(seg["axis_angle"])
+        return seg
+
+    def finish(self, *, pad_final: bool = False) -> List[Dict[str, np.ndarray]]:
+        """Flush the lookahead hold-back. By default trailing audio short
+        of a full window is dropped — exactly the offline plan's
+        ``(n - 16) // 112`` window count, so a streamed clip matches
+        :func:`generation.sample_windows_lean` + decode of the same audio.
+        ``pad_final=True`` instead zero-pads one extra window to cover the
+        tail (emits frames past the real audio; the caller trims)."""
+        out = []
+        if self._w == 0:
+            return out
+        remaining_f = self._audio.shape[0] // self.spf - self._w * self.round_l
+        if pad_final and remaining_f > self.pre_frames * self.squeeze:
+            out.append(self._run_window())
+        seg_dev, self._state = self._flush(self._state)
+        seg = jax.device_get(seg_dev)
+        seg["frame_start"] = self._frame_start
+        self._frame_start += len(seg["axis_angle"])
+        self.stream_stats.frames_emitted += len(seg["axis_angle"])
+        out.append(seg)
+        return out
