@@ -115,6 +115,23 @@ def _group_norm(x: jax.Array, name: str) -> jax.Array:
     return nn.GroupNorm(num_groups=groups, name=name)(x)
 
 
+class _ConvP(nn.Module):
+    """Bare conv parameters with nn.Conv's exact names, shapes and inits —
+    declared so :class:`AudioBasicBlock` can run two same-geometry convs as
+    one fused conv while keeping the parameter tree (and its per-path init
+    RNG, hence bitwise-identical initialization) unchanged."""
+
+    kw: int
+    cin: int
+    cout: int
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", _TORCH_KERNEL_INIT, (self.kw, self.cin, self.cout))
+        b = self.param("bias", nn.initializers.zeros, (self.cout,))
+        return k, b
+
+
 class AudioBasicBlock(nn.Module):
     """Residual conv block of the wav encoder (models/utils/layer.py:144-184).
 
@@ -124,6 +141,16 @@ class AudioBasicBlock(nn.Module):
     norm: 'group' (our training default — no cross-replica sync needed) or
     'none' (for reference checkpoints converted with BatchNorm running
     stats folded into the conv weights, see syntalker_tpu.convert).
+
+    TPU note: in the downsample configuration, ``conv1`` and ``down_conv``
+    read the SAME input with identical kernel/stride/padding, and the
+    encoder's channel widths (64/128) fill at most half of the MXU's 128
+    output lanes — so the two convs execute as ONE conv with concatenated
+    output channels, split before the (per-channel-parameterized) norms.
+    Exact: no cross-terms exist between output channels, and the param
+    tree/init is byte-identical to the two-conv form. The WavEncoder is
+    ~80% of the diffusion train step's FLOPs (BASELINE.md), and its MFU is
+    bounded by exactly this narrow-channel lane fill.
     """
 
     channels: int
@@ -154,14 +181,31 @@ class AudioBasicBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
-        h = _Conv(
-            self.channels,
-            kernel_size=(15,),
-            strides=(self.stride,),
-            padding=((self.pad, self.pad),),
-            dtype=self.dtype,
-            name="conv1",
-        )(x)
+        if self.downsample:
+            # fused conv1 ‖ down_conv (see class docstring)
+            c = self.channels
+            k1, b1 = _ConvP(15, x.shape[-1], c, name="conv1")()
+            kd, bd = _ConvP(15, x.shape[-1], c, name="down_conv")()
+            kk = jnp.concatenate([k1, kd], axis=-1).astype(self.dtype)
+            bb = jnp.concatenate([b1, bd]).astype(self.dtype)
+            out = jax.lax.conv_general_dilated(
+                x.astype(self.dtype), kk,
+                window_strides=(self.stride,),
+                padding=((self.pad, self.pad),),
+                dimension_numbers=("NWC", "WIO", "NWC"),
+            ) + bb
+            h, sc = out[..., :c], out[..., c:]
+            sc = self._norm(sc, "down_norm", train)
+        else:
+            h = _Conv(
+                self.channels,
+                kernel_size=(15,),
+                strides=(self.stride,),
+                padding=((self.pad, self.pad),),
+                dtype=self.dtype,
+                name="conv1",
+            )(x)
+            sc = x.astype(jnp.float32)
         h = self._norm(h, "norm1", train)
         h = nn.leaky_relu(h, 0.01)
         h = _Conv(
@@ -169,18 +213,6 @@ class AudioBasicBlock(nn.Module):
             dtype=self.dtype, name="conv2",
         )(h)
         h = self._norm(h, "norm2", train)
-        if self.downsample:
-            sc = _Conv(
-                self.channels,
-                kernel_size=(15,),
-                strides=(self.stride,),
-                padding=((self.pad, self.pad),),
-                dtype=self.dtype,
-                name="down_conv",
-            )(x)
-            sc = self._norm(sc, "down_norm", train)
-        else:
-            sc = x.astype(jnp.float32)
         return nn.leaky_relu(h + sc, 0.01)
 
 

@@ -61,6 +61,63 @@ class TestWavEncoder:
         assert out.shape == (1, 128, 16)
 
 
+class TestFusedDownConv:
+    @pytest.mark.parametrize("norm", ["group", "batch"])
+    def test_fused_pair_equals_separate_convs(self, norm):
+        """The downsample block runs conv1 ‖ down_conv as ONE conv with
+        concatenated output channels (MXU lane fill). Must equal running
+        the two convs separately from the SAME params — no cross-terms."""
+        from syntalker_tpu.models.denoiser import AudioBasicBlock
+
+        blk = AudioBasicBlock(16, 5, 1700, True, norm=norm)
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 3000, 2))
+        variables = blk.init(jax.random.PRNGKey(1), x)
+        out = blk.apply(variables, x)
+
+        p = variables["params"]
+        assert set(p) >= {"conv1", "down_conv", "conv2"}, sorted(p)
+        assert p["conv1"]["kernel"].shape == (15, 2, 16)
+
+        def conv(name, inp, stride, pad):
+            return (
+                jax.lax.conv_general_dilated(
+                    inp, p[name]["kernel"], (stride,), ((pad, pad),),
+                    dimension_numbers=("NWC", "WIO", "NWC"),
+                )
+                + p[name]["bias"]
+            )
+
+        h = conv("conv1", x, 5, 1700)
+        sc = conv("down_conv", x, 5, 1700)
+        norm_vars = {k: v for k, v in variables.items() if k != "params"}
+
+        def apply_norm(name, val):
+            import flax.linen as fnn
+
+            if norm == "batch":
+                sub = fnn.BatchNorm(use_running_average=True, momentum=0.9,
+                                    epsilon=1e-5)
+                vs = {
+                    "params": p[name],
+                    "batch_stats": norm_vars["batch_stats"][name],
+                }
+                return sub.apply(vs, val)
+            groups = min(32, val.shape[-1])
+            return fnn.GroupNorm(num_groups=groups).apply(
+                {"params": p[name]}, val
+            )
+
+        import flax.linen as fnn
+
+        h = apply_norm("norm1", h)
+        h = fnn.leaky_relu(h, 0.01)
+        h = conv("conv2", h, 1, 7)
+        h = apply_norm("norm2", h)
+        sc = apply_norm("down_norm", sc)
+        ref = fnn.leaky_relu(h + sc, 0.01)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
 class TestRoPE:
     def test_rope_preserves_norm(self):
         x = jax.random.normal(jax.random.PRNGKey(0), (2, 4, 16, 8))
