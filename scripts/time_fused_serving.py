@@ -10,7 +10,10 @@ paying bench.py's full e2e path. Two modes:
   whole 50-step DDIM loop as ONE pallas_call (the production use_fused
   serving path — in/out projections, RoPE and the DDIM update in-kernel).
 
-Run: python scripts/time_fused_serving.py [--loop] [tile ...]
+Run: python scripts/time_fused_serving.py [--loop] [--group G[,G...]] [tile ...]
+
+``--group`` sweeps ``attn_group`` (samples per block-diagonal attention
+dot: g·T score rows fill the MXU, at g× wasted score FLOPs + exps).
 """
 
 from __future__ import annotations
@@ -27,7 +30,7 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 V5E_PEAK_FLOPS = 197e12
 
 
-def main(tiles, loop=False):
+def main(tiles, loop=False, groups=(1,)):
     import jax
     import jax.numpy as jnp
 
@@ -79,41 +82,50 @@ def main(tiles, loop=False):
         )
 
     for tile in tiles:
-        if loop:
-            run = make_fused_ddim_window(
-                cfg, params, diffusion, tile_samples=tile
+        for group in groups:
+            if tile % group:
+                continue
+            if loop:
+                run = make_fused_ddim_window(
+                    cfg, params, diffusion, tile_samples=tile, attn_group=group
+                )
+                jax.block_until_ready(run(x0, cond))
+                ts = []
+                for _ in range(5):
+                    t0 = time.perf_counter()
+                    x = run(x0, cond)
+                    jax.device_get(x[0, 0, 0])
+                    ts.append(time.perf_counter() - t0)
+            else:
+                fused = make_fused_denoise(cfg, params, tile_samples=tile)
+                x = fused(x0, te0, cond)
+                jax.block_until_ready(x)
+                ts = []
+                for _ in range(5):
+                    x = x0
+                    t0 = time.perf_counter()
+                    for _i in range(50):
+                        x = fused(x, te0, cond)
+                    jax.device_get(x[0, 0, 0])
+                    ts.append(time.perf_counter() - t0)
+            wall = statistics.median(ts)
+            print(
+                f"{'loop ' if loop else ''}tile={tile} group={group}: "
+                f"{wall/bs*1e3:.3f} ms/window, "
+                f"MFU {loop_flops/wall/V5E_PEAK_FLOPS:.3f} "
+                f"(times {[round(x_*1e3) for x_ in ts]} ms)",
+                flush=True,
             )
-            jax.block_until_ready(run(x0, cond))
-            ts = []
-            for _ in range(5):
-                t0 = time.perf_counter()
-                x = run(x0, cond)
-                jax.device_get(x[0, 0, 0])
-                ts.append(time.perf_counter() - t0)
-        else:
-            fused = make_fused_denoise(cfg, params, tile_samples=tile)
-            x = fused(x0, te0, cond)
-            jax.block_until_ready(x)
-            ts = []
-            for _ in range(5):
-                x = x0
-                t0 = time.perf_counter()
-                for _i in range(50):
-                    x = fused(x, te0, cond)
-                jax.device_get(x[0, 0, 0])
-                ts.append(time.perf_counter() - t0)
-        wall = statistics.median(ts)
-        print(
-            f"{'loop ' if loop else ''}tile={tile}: {wall/bs*1e3:.3f} ms/window, "
-            f"MFU {loop_flops/wall/V5E_PEAK_FLOPS:.3f} "
-            f"(times {[round(x_*1e3) for x_ in ts]} ms)",
-            flush=True,
-        )
 
 
 if __name__ == "__main__":
     args = sys.argv[1:]
     loop = "--loop" in args
     args = [a for a in args if a != "--loop"]
+    groups = (1,)
+    if "--group" in args:
+        i = args.index("--group")
+        groups = tuple(int(g) for g in args[i + 1].split(","))
+        args = args[:i] + args[i + 2 :]
     tiles = [int(a) for a in args] or ([16, 32] if loop else [4, 8])
-    main(tiles, loop=loop)
+    main(tiles, loop=loop, groups=groups)

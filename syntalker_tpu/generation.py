@@ -243,7 +243,14 @@ def sample_windows_lean(
       ``x' = a_i x + b_i x0`` (coefficients precomputed over the schedule,
       same derivation as ops.mdm_pallas.make_fused_ddim_window);
     - per step only ``run_blocks`` (the shared 'blocks' scope) goes through
-      flax.
+      flax;
+    - the ENTIRE audio/word conditioning (the WavEncoder conv pyramid +
+      word embedding + mix) is hoisted OUT of the sequential window scan:
+      ``at_feat`` is seed-independent, so all W windows run as ONE batched
+      (W·B) encode before the scan — W sequential batch-1 conv pyramids
+      collapse into one well-filled conv call. Only ``embed_seed`` touches
+      the autoregressive carry, and it folds through the style slab into a
+      single (pre·1536, 512) matmul inside the scan body.
 
     RNG consumption is bit-identical to :func:`sample_windows` + η=0
     ``ddim_sample`` (the σ=0 noise draw there multiplies to exact zero, so
@@ -288,13 +295,29 @@ def sample_windows_lean(
     hd = d // cfg.rope_heads
     angles = rope_angles(lw, hd)[:, None, :]
 
-    def body(carry, xs):
+    # ---- hoisted conditioning: at_feat depends only on (audio, word) ------
+    # One (W·B)-batched encode replaces W sequential batch-1 WavEncoder
+    # pyramids inside the scan (the conv pyramid was the only non-denoise
+    # cost on the window critical path). seed_emb from the dummy zero seed
+    # is discarded; its cost is one tiny matmul.
+    n_win = audio_windows.shape[0]
+    aw_flat = audio_windows.reshape((n_win * b,) + audio_windows.shape[2:])
+    ww_flat = word_windows.reshape((n_win * b,) + word_windows.shape[2:])
+    zero_seed = jnp.zeros((n_win * b, plan.pre_frames, J.LATENT_DIM))
+    cond_all = mdm.apply(variables, aw_flat, ww_flat, zero_seed, method="encode_cond")
+    at_all = cond_all.at_feat[:, :lw].reshape(n_win, b, lw, -1)
+    at_c_all = at_all @ w2_at + bias_c  # (W, B, T, 512)
+
+    # embed_seed folded through the style slab: seed_emb @ w2_style
+    # = seed_flat @ (W_es @ w2_style) + b_es @ w2_style (exact algebra)
+    w_es, b_es = p["embed_seed"]["kernel"], p["embed_seed"]["bias"]
+    w_seed = w_es @ w2_style  # (pre*1536, 512)
+    b_seed = b_es @ w2_style  # (512,)
+
+    def body(carry, at_c):
         seed, key = carry
-        audio, word = xs
         key, k_samp = _rng_split(key)
-        cond = mdm.apply(variables, audio, word, seed, method="encode_cond")
-        at_c = cond.at_feat[:, :lw] @ w2_at + bias_c  # (B, T, 512)
-        seed_row = cond.seed_emb @ w2_style  # (B, 512)
+        seed_row = seed.reshape(b, -1) @ w_seed + b_seed  # (B, 512)
 
         k_samp, k0 = _rng_split(k_samp)
         x0_noise = _rng_normal(k0, shape)
@@ -310,9 +333,7 @@ def sample_windows_lean(
         x, _ = jax.lax.scan(step, x0_noise, jnp.arange(s_steps))
         return (x[:, -plan.pre_frames :, :], key), x
 
-    (_, _), windows = jax.lax.scan(
-        body, (init_seed, rng), (audio_windows, word_windows)
-    )
+    (_, _), windows = jax.lax.scan(body, (init_seed, rng), at_c_all)
     first = windows[0]
     rest = windows[1:, :, plan.pre_frames :, :]
     rest = jnp.moveaxis(rest, 0, 1).reshape(b, -1, J.LATENT_DIM)
@@ -350,6 +371,7 @@ def make_fused_loop_sampler(
     prebuilt ``make_fused_denoise``) so every jit below is traced once, not
     per call.
     """
+    from syntalker_tpu.models.denoiser import Conditioning
     from syntalker_tpu.ops.mdm_pallas import make_fused_ddim_window
 
     variables = mdm_variables(mdm_params)
@@ -360,6 +382,8 @@ def make_fused_loop_sampler(
     lw = plan.latent_window
     pre = plan.pre_frames
     n_windows = plan.num_windows
+    p = variables["params"]
+    w_es, b_es = p["embed_seed"]["kernel"], p["embed_seed"]["bias"]
 
     @jax.jit
     def prep_noise(rng, init_seed):
@@ -376,14 +400,26 @@ def make_fused_loop_sampler(
         return noises
 
     @jax.jit
-    def encode_first(audio, word, seed):
-        return mdm.apply(variables, audio, word, seed, method="encode_cond")
+    def encode_all(audio_windows, word_windows):
+        # at_feat is seed-independent (the kernel consumes only
+        # at_feat + seed_emb): ONE (W·B)-batched WavEncoder call up front
+        # replaces a full encode_cond dispatch per window on the
+        # autoregressive critical path.
+        n_w, b = audio_windows.shape[:2]
+        aw = audio_windows.reshape((n_w * b,) + audio_windows.shape[2:])
+        ww = word_windows.reshape((n_w * b,) + word_windows.shape[2:])
+        zseed = jnp.zeros((n_w * b, pre, J.LATENT_DIM))
+        cond = mdm.apply(variables, aw, ww, zseed, method="encode_cond")
+        return cond.at_feat.reshape((n_w, b) + cond.at_feat.shape[1:])
 
     @jax.jit
-    def encode_next(audio, word, x_prev):
-        return mdm.apply(
-            variables, audio, word, x_prev[:, -pre:, :], method="encode_cond"
-        )
+    def seed_emb_first(seed):  # embed_seed dense, out-of-flax (exact)
+        return seed.reshape(seed.shape[0], -1) @ w_es + b_es
+
+    @jax.jit
+    def seed_emb_next(x_prev):
+        s = x_prev[:, -pre:, :]
+        return s.reshape(s.shape[0], -1) @ w_es + b_es
 
     @jax.jit
     def stitch(outs):
@@ -396,13 +432,14 @@ def make_fused_loop_sampler(
 
     def sample(audio_windows, word_windows, init_seed, rng):
         noises = prep_noise(rng, init_seed)
+        at_all = encode_all(audio_windows, word_windows)
         outs = []
         x = None
         for w in range(n_windows):
-            cond = (
-                encode_first(audio_windows[w], word_windows[w], init_seed)
-                if w == 0
-                else encode_next(audio_windows[w], word_windows[w], x)
+            se = seed_emb_first(init_seed) if w == 0 else seed_emb_next(x)
+            cond = Conditioning(
+                at_feat=at_all[w], seed_emb=se, prompt_feat=None,
+                style_feat=None,
             )
             x = fused(noises[w], cond)
             outs.append(x)

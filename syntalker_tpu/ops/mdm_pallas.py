@@ -68,9 +68,20 @@ def _block_math(
     *,
     num_heads: int,
     tile_samples: int,
+    attn_group: int = 1,
 ):
     """One pre-LN transformer block on in-register/VMEM values — shared by
-    the block-stack kernel and the full-DDIM-loop kernel."""
+    the block-stack kernel and the full-DDIM-loop kernel.
+
+    ``attn_group=g`` groups g samples' tokens into one block-diagonal
+    (g·T, g·T) masked score dot: per-sample (T, T) dots fill only T/128 of
+    the MXU output tile (T=32 → 25% rows), so grouping trades g× wasted
+    score FLOPs + g× softmax exps (scores are ~3% of block FLOPs) for
+    full-row MXU fill on the attention matmuls. g must divide
+    tile_samples; g=1 is the per-sample batched path, g=tile_samples the
+    fully-masked extreme. Numerics are identical: the additive −1e30 mask
+    zeroes cross-sample probs exactly (exp underflow), and each softmax
+    row still normalizes over its own sample's block only."""
     s, d = x.shape
     t = s // tile_samples  # per-sample sequence length
     hd = d // num_heads
@@ -91,27 +102,40 @@ def _block_math(
             head_outs.append(_dot(probs, v))  # (T, hd)
         attn_out = jnp.concatenate(head_outs, axis=-1)
     else:
-        # serving path: per-head BATCHED dot over the tile's samples —
-        # (tile, T, hd) x (tile, T, hd) -> (tile, T, T) scores. Earlier
-        # revisions computed one (S, S) score matmul with a block-diagonal
-        # mask; that kept MXU rows full but wasted tile_samples x the
-        # useful score/softmax work (~20% of layer FLOPs and 8x the exps
-        # at tile 8). Mosaic lowers the batched dot in-kernel, so there is
-        # no per-matmul dispatch cost to amortize.
+        # serving path: per-head BATCHED dot over groups of attn_group
+        # samples — (nb, gT, hd) x (nb, gT, hd) -> (nb, gT, gT) scores.
+        # attn_group=1 recovers the round-3 per-sample batched form (no
+        # mask, no wasted score work); attn_group=tile_samples is the
+        # original single (S, S) masked matmul that lost at tile 8 (8x the
+        # exps). Mosaic lowers the batched dot in-kernel, so there is no
+        # per-matmul dispatch cost to amortize either way.
+        if tile_samples % attn_group:
+            raise ValueError(
+                f"attn_group={attn_group} must divide tile_samples={tile_samples}"
+            )
+        g = attn_group
+        nb = tile_samples // g
+        gt = g * t
+        if g > 1:
+            row = jax.lax.broadcasted_iota(jnp.int32, (gt, gt), 0)
+            col = jax.lax.broadcasted_iota(jnp.int32, (gt, gt), 1)
+            mask = jnp.where((row // t) == (col // t), 0.0, -1e30).astype(F32)
         head_outs = []
         for head in range(num_heads):
-            q = qkv[:, head * hd : (head + 1) * hd].reshape(tile_samples, t, hd)
-            k = qkv[:, d + head * hd : d + (head + 1) * hd].reshape(tile_samples, t, hd)
-            v = qkv[:, 2 * d + head * hd : 2 * d + (head + 1) * hd].reshape(tile_samples, t, hd)
+            q = qkv[:, head * hd : (head + 1) * hd].reshape(nb, gt, hd)
+            k = qkv[:, d + head * hd : d + (head + 1) * hd].reshape(nb, gt, hd)
+            v = qkv[:, 2 * d + head * hd : 2 * d + (head + 1) * hd].reshape(nb, gt, hd)
             scores = jax.lax.dot_general(
                 q * scale, k, (((2,), (2,)), ((0,), (0,))),
                 preferred_element_type=F32,
-            )  # (tile, T, T)
+            )  # (nb, gT, gT)
+            if g > 1:
+                scores = scores + mask[None]
             probs = jax.nn.softmax(scores, axis=-1)
             out = jax.lax.dot_general(
                 probs, v, (((2,), (1,)), ((0,), (0,))),
                 preferred_element_type=F32,
-            )  # (tile, T, hd)
+            )  # (nb, gT, hd)
             head_outs.append(out.reshape(s, hd))
         attn_out = jnp.concatenate(head_outs, axis=-1)
     x = x + _dot(attn_out.astype(jnp.bfloat16), wproj) + bproj
@@ -138,6 +162,7 @@ def _block_kernel(
     *,
     num_heads: int,
     tile_samples: int,
+    attn_group: int = 1,
 ):
     layer = pl.program_id(1)
 
@@ -155,7 +180,7 @@ def _block_kernel(
         ln2_s_ref[0, 0], ln2_b_ref[0, 0],
         wfc1_ref[0], bfc1_ref[0, 0],
         wfc2_ref[0], bfc2_ref[0, 0],
-        num_heads=num_heads, tile_samples=tile_samples,
+        num_heads=num_heads, tile_samples=tile_samples, attn_group=attn_group,
     )
 
 
@@ -303,6 +328,7 @@ def _ddim_window_kernel(
     num_heads: int,
     num_layers: int,
     tile_samples: int,
+    attn_group: int = 1,
 ):
     si = pl.program_id(1)
     li = pl.program_id(2)
@@ -346,7 +372,7 @@ def _ddim_window_kernel(
         ln2_s_ref[0, 0], ln2_b_ref[0, 0],
         wfc1_ref[0], bfc1_ref[0, 0],
         wfc2_ref[0], bfc2_ref[0, 0],
-        num_heads=num_heads, tile_samples=tile_samples,
+        num_heads=num_heads, tile_samples=tile_samples, attn_group=attn_group,
     )
 
     @pl.when(li == num_layers - 1)
@@ -357,7 +383,7 @@ def _ddim_window_kernel(
 
 
 def make_fused_ddim_window(cfg, params, diffusion, *, tile_samples: int = 1,
-                           interpret: bool = False):
+                           attn_group: int = 1, interpret: bool = False):
     """Whole-window DDIM sampler as ONE pallas_call: grid (B/K, NFE, L).
 
     The batch-1 latency path spends ~150 µs per NFE step in the XLA scan —
@@ -427,11 +453,13 @@ def make_fused_ddim_window(cfg, params, diffusion, *, tile_samples: int = 1,
     @functools.partial(
         jax.jit,
         static_argnames=(
-            "num_heads", "rope_heads", "num_layers", "tile_samples", "interpret"
+            "num_heads", "rope_heads", "num_layers", "tile_samples",
+            "attn_group", "interpret"
         ),
     )
     def _impl(io, w, t_embs, coef_a, coef_b, x_init, seed_emb, at_feat, *,
-              num_heads, rope_heads, num_layers, tile_samples, interpret):
+              num_heads, rope_heads, num_layers, tile_samples, attn_group,
+              interpret):
         b, t, c = x_init.shape
         d = io["w_in"].shape[-1]
         a_dim = io["w_in2"].shape[0] - 2 * d
@@ -474,7 +502,7 @@ def make_fused_ddim_window(cfg, params, diffusion, *, tile_samples: int = 1,
         return pl.pallas_call(
             functools.partial(
                 _ddim_window_kernel, num_heads=num_heads,
-                num_layers=num_layers, tile_samples=k,
+                num_layers=num_layers, tile_samples=k, attn_group=attn_group,
             ),
             grid=(b // k, s, num_layers),
             in_specs=[
@@ -517,14 +545,15 @@ def make_fused_ddim_window(cfg, params, diffusion, *, tile_samples: int = 1,
             io, w, t_embs, coef_a, coef_b, x_init, cond.seed_emb, cond.at_feat,
             num_heads=cfg.num_heads, rope_heads=cfg.rope_heads,
             num_layers=cfg.num_layers, tile_samples=tile_samples,
-            interpret=interpret,
+            attn_group=attn_group, interpret=interpret,
         )
 
     return run
 
 
 @functools.partial(
-    jax.jit, static_argnames=("num_heads", "tile_samples", "interpret")
+    jax.jit,
+    static_argnames=("num_heads", "tile_samples", "attn_group", "interpret"),
 )
 def fused_block_stack(
     x: jax.Array,  # (B, T, D) f32
@@ -532,6 +561,7 @@ def fused_block_stack(
     *,
     num_heads: int = 4,
     tile_samples: int = 1,
+    attn_group: int = 1,
     interpret: bool = False,
 ) -> jax.Array:
     """tile_samples=1: latency path (one sample's activation per grid step).
@@ -556,7 +586,8 @@ def fused_block_stack(
 
     out = pl.pallas_call(
         functools.partial(
-            _block_kernel, num_heads=num_heads, tile_samples=tile_samples
+            _block_kernel, num_heads=num_heads, tile_samples=tile_samples,
+            attn_group=attn_group,
         ),
         grid=(n_tiles, l),
         in_specs=[

@@ -81,6 +81,35 @@ class TestTiledServingStack:
         )
         np.testing.assert_allclose(tiled, base, atol=5e-3, rtol=5e-3)
 
+    def test_attn_group_matches_per_sample(self, stack):
+        """attn_group=g (g samples' tokens in one block-diagonal masked
+        score dot, for MXU row fill) must match the per-sample batched
+        attention: the −1e30 mask makes cross-sample probs exact zeros, so
+        the only drift is accumulation order amplified through bf16 casts
+        (~1 bf16 ulp)."""
+        _, _, block_params = stack
+        w = stack_block_weights(block_params)
+        x = jax.random.normal(jax.random.PRNGKey(5), (8, 32, CFG.latent_dim))
+        base = np.asarray(
+            fused_block_stack(x, w, tile_samples=8, interpret=True)
+        )
+        for g in (2, 4, 8):
+            grouped = np.asarray(
+                fused_block_stack(
+                    x, w, tile_samples=8, attn_group=g, interpret=True
+                )
+            )
+            np.testing.assert_allclose(grouped, base, atol=5e-3, rtol=5e-3)
+
+    def test_attn_group_divisibility_raises(self, stack):
+        _, _, block_params = stack
+        w = stack_block_weights(block_params)
+        x = jnp.zeros((8, 32, CFG.latent_dim))
+        with pytest.raises(ValueError, match="attn_group"):
+            fused_block_stack(
+                x, w, tile_samples=8, attn_group=3, interpret=True
+            )
+
     def test_tile_divisibility_raises(self, stack):
         _, _, block_params = stack
         w = stack_block_weights(block_params)
