@@ -186,28 +186,43 @@ def main():
         ts = jnp.asarray(diffusion.timestep_map, jnp.int32)  # 50 original steps
         t_embs = mdm.apply({"params": mdm_params}, ts, method="embed_timesteps")
 
-        def denoise_loop(x, cond, t_embs):
-            def step(x, te):
-                out = mdm.apply(
+        # DDIM eta=0 two-coefficient update in iteration order (same
+        # derivation as ops.mdm_pallas.make_fused_ddim_window / the lean
+        # sampler) — the XLA loop runs the FULL DDIM recursion so it is
+        # both the timing comparator and the on-chip parity oracle for the
+        # fused kernel. The update itself is 2 flops/elem — noise.
+        s_steps = diffusion.num_steps
+        idx = np.arange(s_steps - 1, -1, -1)
+        abar_prev = np.asarray(diffusion.alphas_cumprod_prev, np.float64)[idx]
+        rr = np.asarray(diffusion.sqrt_recip_alphas_cumprod, np.float64)[idx]
+        rm1 = np.asarray(diffusion.sqrt_recipm1_alphas_cumprod, np.float64)[idx]
+        s1m = np.sqrt(np.maximum(1.0 - abar_prev, 0.0))
+        coef_a = jnp.asarray(s1m * rr / rm1, jnp.float32)
+        coef_b = jnp.asarray(np.sqrt(abar_prev) - s1m / rm1, jnp.float32)
+        t_embs_iter = t_embs[::-1]  # highest t first
+
+        def denoise_loop(x, cond, t_embs_iter):
+            def step(x, it):
+                pred_x0 = mdm.apply(
                     {"params": mdm_params},
                     x,
                     jnp.zeros((x.shape[0],), jnp.int32),
                     cond,
-                    t_emb=jnp.tile(te[None], (x.shape[0], 1)),
+                    t_emb=jnp.tile(t_embs_iter[it][None], (x.shape[0], 1)),
                     method="denoise",
                 )
-                return out, None
+                return coef_a[it] * x + coef_b[it] * pred_x0, None
 
-            x, _ = jax.lax.scan(step, x, t_embs)
+            x, _ = jax.lax.scan(step, x, jnp.arange(s_steps))
             return x
 
         x0 = jax.random.normal(jax.random.fold_in(k, 1), (bs, 32, J.LATENT_DIM))
         loop_c = jax.jit(denoise_loop)
-        jax.device_get(loop_c(x0, cond, t_embs))  # warm
+        xla_ref = jax.device_get(loop_c(x0, cond, t_embs_iter))  # warm
         lt = []
         for _ in range(5):
             t0 = time.perf_counter()
-            r = loop_c(x0, cond, t_embs)
+            r = loop_c(x0, cond, t_embs_iter)
             jax.device_get(r[0, 0, 0])  # tiny readback: completion barrier only
             lt.append(time.perf_counter() - t0)
         loop_wall = statistics.median(lt)
@@ -234,7 +249,21 @@ def main():
         fused = make_fused_ddim_window(
             mdm_cfg, mdm_params, diffusion, tile_samples=32
         )
-        jax.block_until_ready(fused(x0, cond))  # warm
+        fused_out = jax.device_get(fused(x0, cond))  # warm
+        # On-chip Pallas parity gate: every bench run re-validates the real
+        # Mosaic lowering (bf16 weights + tanh-GELU) against the XLA DDIM
+        # loop above — a regression on the real chip fails the bench
+        # instead of landing silently between ad-hoc script runs.
+        parity_err = float(
+            np.abs(fused_out - xla_ref).max() / (np.abs(xla_ref).max() + 1e-9)
+        )
+        serving["fused_parity_err"] = round(parity_err, 5)
+        serving["fused_parity_ok"] = bool(parity_err < 5e-2)
+        if not serving["fused_parity_ok"]:
+            # a diverged kernel's perf numbers are meaningless — withhold
+            # them so the regression is loud in BENCH_rN, but keep the
+            # headline metric alive.
+            raise AssertionError(f"fused kernel diverged from XLA: {parity_err}")
         ft = []
         for _ in range(5):
             t0 = time.perf_counter()

@@ -9,6 +9,15 @@ docs/parity_round3_multiseed_bn.{json,md}. Idempotent: finished stages are
 skipped, so run it repeatedly as the main chain completes seeds.
 
     python scripts/parity_bn_arms.py --seeds 3 --diff-steps 600
+
+Round 4: also the orchestrator for the bf16 fast-training validation arm
+(VERDICT r3 #2) — same protocol, jax arm trained with the bf16 compute
+config on top of the shipped BN config, scored against the same torch
+generations:
+
+    python scripts/parity_bn_arms.py --seeds 3 --diff-steps 600 \
+        --dtype bf16 --out ./outputs/parity_multiseed_bf16 \
+        --doc parity_round4_bf16
 """
 
 from __future__ import annotations
@@ -39,6 +48,10 @@ def main():
     ap.add_argument("--src", default="./outputs/parity_multiseed")
     ap.add_argument("--out", default="./outputs/parity_multiseed_bn")
     ap.add_argument("--skip-ddpm", action="store_true")
+    ap.add_argument("--dtype", choices=["f32", "bf16"], default="f32",
+                    help="jax-arm compute dtype (bf16 = fast-training arm)")
+    ap.add_argument("--doc", default="parity_round3_multiseed_bn",
+                    help="basename of the docs/ json+md outputs")
     args = ap.parse_args()
     src_base, base = Path(args.src), Path(args.out)
     script = ROOT / "scripts" / "parity_experiment.py"
@@ -59,7 +72,7 @@ def main():
         log = d / "run.log"
         common = [sys.executable, str(script), "--out", str(d),
                   "--seed", str(seed), "--diff-steps", str(args.diff_steps),
-                  "--audio-norm", "batch"]
+                  "--audio-norm", "batch", "--dtype", args.dtype]
         if not (d / "report.json").exists():
             if not (d / "jax_gen.npz").exists():
                 run(common + ["--stage", "jax"], log)
@@ -73,10 +86,12 @@ def main():
         done.append(seed)
 
     if done:
-        aggregate(base, done, skip_ddpm=args.skip_ddpm)
+        aggregate(base, done, skip_ddpm=args.skip_ddpm, doc=args.doc,
+                  dtype=args.dtype)
 
 
-def aggregate(base: Path, seeds, *, skip_ddpm=False):
+def aggregate(base: Path, seeds, *, skip_ddpm=False,
+              doc="parity_round3_multiseed_bn", dtype="f32"):
     arms = ["ddim"] + ([] if skip_ddpm else ["ddpm"])
     table = {}
     for arm in arms:
@@ -97,21 +112,25 @@ def aggregate(base: Path, seeds, *, skip_ddpm=False):
                 "seeds": used,
                 **{s: {m: _ci(v) for m, v in per[s].items()} for s in STACKS},
             }
+    variant = ("audio_norm='batch'" if dtype == "f32"
+               else "audio_norm='batch' + bf16 compute (fast-training config)")
     out = {
         "arms": table,
-        "read_me": "jax arm retrained with audio_norm='batch' (the round-3 "
-                   "root-cause fix) against the SAME torch generations as "
-                   "docs/parity_round3_multiseed.json. mean ± 95% CI.",
+        "jax_arm_dtype": dtype,
+        "read_me": f"jax arm retrained with {variant} against the SAME torch "
+                   "generations as docs/parity_round3_multiseed.json. "
+                   "mean ± 95% CI.",
     }
-    (ROOT / "docs" / "parity_round3_multiseed_bn.json").write_text(
+    (ROOT / "docs" / f"{doc}.json").write_text(
         json.dumps(out, indent=1)
     )
-    lines = ["# Multi-seed parity — BN (shipped-config) jax arm", "",
+    lines = [f"# Multi-seed parity — jax arm: {variant}", "",
              out["read_me"], ""]
+    col = "syntalker_tpu (BN)" if dtype == "f32" else "syntalker_tpu (BN, bf16)"
     for arm, t in table.items():
         lines += [f"## {'DDIM-50' if arm == 'ddim' else 'DDPM-1000'} "
                   f"(seeds {t['seeds']})", "",
-                  "| Metric | reference torch | syntalker_tpu (BN) |",
+                  f"| Metric | reference torch | {col} |",
                   "|---|---|---|"]
         for m in METRICS:
             cells = []
@@ -121,7 +140,7 @@ def aggregate(base: Path, seeds, *, skip_ddpm=False):
                 cells.append(f"{c['mean']:.4g}{ci}")
             lines.append(f"| {m} | {cells[0]} | {cells[1]} |")
         lines.append("")
-    (ROOT / "docs" / "parity_round3_multiseed_bn.md").write_text(
+    (ROOT / "docs" / f"{doc}.md").write_text(
         "\n".join(lines))
     print(json.dumps(out, indent=1))
 

@@ -449,6 +449,17 @@ def _full_feature(data, part):
 # stage: jax (our stack, same budgets)
 # --------------------------------------------------------------------------
 
+def _dtype_kw(args):
+    """MDMConfig dtype kwargs for the jax arm (--dtype bf16 = the
+    fast-training config: block + WavEncoder-conv compute in bf16, params
+    and norm statistics f32 — BASELINE.md 'diffusion train step, bf16')."""
+    import jax.numpy as jnp
+
+    if getattr(args, "dtype", "f32") == "bf16":
+        return {"dtype": jnp.bfloat16, "audio_dtype": jnp.bfloat16}
+    return {}
+
+
 def stage_jax(args):
     diff_steps = getattr(args, "diff_steps", DIFF_STEPS)
     import jax
@@ -503,7 +514,8 @@ def stage_jax(args):
                 jax.tree.map(jnp.asarray, ck["rvq_qstate"][part]),
             )
         mcfg = MDMConfig(vocab_size=VOCAB,
-                         audio_norm=getattr(args, "audio_norm", "group"))
+                         audio_norm=getattr(args, "audio_norm", "group"),
+                         **_dtype_kw(args))
         module, _ = create_mdm(mcfg, jax.random.PRNGKey(0), frames=128)
         mdm_params = jax.tree.map(jnp.asarray, ck["mdm_params"])
         if ck.get("mdm_model_state"):
@@ -562,7 +574,8 @@ def stage_jax(args):
 
     # ---- 3. MDM diffusion ----
     mcfg = MDMConfig(vocab_size=VOCAB,
-                     audio_norm=getattr(args, "audio_norm", "group"))
+                     audio_norm=getattr(args, "audio_norm", "group"),
+                     **_dtype_kw(args))
     module, params = create_mdm(mcfg, jax.random.PRNGKey(13 + sd_off), frames=128)
     diffusion = make_diffusion(steps=1000)
     opt = make_diffusion_optimizer(lr=DIFF_LR)
@@ -969,6 +982,12 @@ def main():
                     help="WavEncoder normalization for the jax arm; 'batch' "
                          "is the reference-exact BatchNorm path (the torch "
                          "arm always uses BN) - the L1Div/BeatAlign bisect")
+    ap.add_argument("--dtype", choices=["f32", "bf16"], default="f32",
+                    help="jax-arm MDM compute dtype (blocks + WavEncoder "
+                         "convs; params and norm statistics stay f32). "
+                         "'bf16' is the fast-training configuration "
+                         "(BASELINE.md: +41%% step throughput) — this arm "
+                         "validates its sample quality (VERDICT r3 #2)")
     ap.add_argument("--skip-train", action="store_true",
                     help="reuse saved torch/jax checkpoints in --out and only "
                          "re-generate + re-score (e.g. a DDPM arm over the "

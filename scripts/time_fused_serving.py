@@ -127,5 +127,9 @@ if __name__ == "__main__":
         i = args.index("--group")
         groups = tuple(int(g) for g in args[i + 1].split(","))
         args = args[:i] + args[i + 2 :]
+    if groups != (1,) and not loop:
+        # the per-step path (make_fused_denoise) does not take attn_group —
+        # sweeping it there would print rows that all measured group=1
+        sys.exit("--group requires --loop (per-step path has no attn_group)")
     tiles = [int(a) for a in args] or ([16, 32] if loop else [4, 8])
     main(tiles, loop=loop, groups=groups)

@@ -405,6 +405,14 @@ def make_fused_loop_sampler(
         # at_feat + seed_emb): ONE (W·B)-batched WavEncoder call up front
         # replaces a full encode_cond dispatch per window on the
         # autoregressive critical path.
+        # Compile-scaling tradeoff: this jit-compiles encode_cond at batch
+        # n_windows*B, and large-batch encode_cond COLD-compiles are very
+        # slow through the remote tunnel (>9 min at batch 256 —
+        # docs/serving_roofline_round3.md). For very long clips or big
+        # serving batches, either warm the persistent compilation cache
+        # once per shape or fall back to the per-window encode of
+        # sample_windows_fused; steady-state serving reuses one (W·B)
+        # shape so the cost is one-time.
         n_w, b = audio_windows.shape[:2]
         aw = audio_windows.reshape((n_w * b,) + audio_windows.shape[2:])
         ww = word_windows.reshape((n_w * b,) + word_windows.shape[2:])

@@ -85,6 +85,14 @@ def _block_math(
     s, d = x.shape
     t = s // tile_samples  # per-sample sequence length
     hd = d // num_heads
+    if tile_samples % attn_group:
+        raise ValueError(
+            f"attn_group={attn_group} must divide tile_samples={tile_samples}"
+        )
+    if tile_samples == 1 and attn_group != 1:
+        # the latency path below has no grouping — silently ignoring the
+        # option would mislabel measurements
+        raise ValueError("attn_group > 1 requires tile_samples > 1")
 
     # --- attention ---------------------------------------------------------
     h = _layer_norm(x, ln1_s, ln1_b)
@@ -109,10 +117,6 @@ def _block_math(
         # original single (S, S) masked matmul that lost at tile 8 (8x the
         # exps). Mosaic lowers the batched dot in-kernel, so there is no
         # per-matmul dispatch cost to amortize either way.
-        if tile_samples % attn_group:
-            raise ValueError(
-                f"attn_group={attn_group} must divide tile_samples={tile_samples}"
-            )
         g = attn_group
         nb = tile_samples // g
         gt = g * t
