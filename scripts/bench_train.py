@@ -97,9 +97,10 @@ def bench_rvq(rng):
     return wall, ts
 
 
-def bench_diffusion(rng, *, scan_blocks=True):
+def bench_diffusion(rng, *, scan_blocks=True, b=40, dtype="f32", **cfg_kw):
     """Reference config: batch 40, 128 frames, full-size MDM."""
     import jax
+    import jax.numpy as jnp
 
     from syntalker_tpu.diffusion.schedule import make_diffusion
     from syntalker_tpu.models.denoiser import MDMConfig, create_mdm
@@ -109,11 +110,12 @@ def bench_diffusion(rng, *, scan_blocks=True):
     )
     from syntalker_tpu.train.state import create_train_state, make_diffusion_optimizer
 
-    cfg = MDMConfig(scan_blocks=scan_blocks)
+    if dtype == "bf16":
+        cfg_kw.update(dtype=jnp.bfloat16, audio_dtype=jnp.bfloat16)
+    cfg = MDMConfig(scan_blocks=scan_blocks, **cfg_kw)
     module, params = create_mdm(cfg, rng, frames=128)
     opt = make_diffusion_optimizer()
     state = create_train_state(params, opt, rng)
-    b = 40
     g = np.random.default_rng(1)
     batch = jax.device_put({
         "latent_in": g.normal(size=(b, 32, 1536)).astype(np.float32),
@@ -124,6 +126,70 @@ def bench_diffusion(rng, *, scan_blocks=True):
     diffusion = make_diffusion(schedule="cosine", steps=1000)
     step = jax.jit(make_diffusion_train_step(module, diffusion, opt, DiffusionTrainConfig()))
     return step, state, batch
+
+
+def chained_slope(step, state, batch, *, n_long=20, n_short=5):
+    """Per-step device time by chained-slope timing (CLAUDE.md): run the
+    step N times data-dependent-chained with ONE readback, at two N, and
+    take the slope — immune to the tunnel's per-dispatch sync jitter."""
+    import jax
+
+    def chain(n):
+        s = state
+        for _ in range(n):
+            s, m = step(s, batch)
+        jax.device_get(m["predict_x0_loss"])
+
+    chain(2)  # warm + touch both branch shapes
+    times = {}
+    for n in (n_short, n_long):
+        reps = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            chain(n)
+            reps.append(time.perf_counter() - t0)
+        times[n] = min(reps)
+    return (times[n_long] - times[n_short]) / (n_long - n_short)
+
+
+def sweep():
+    """Training batch/dtype sweep (VERDICT r3 #1a): throughput + MFU at
+    batches beyond the reference's GPU-era 40. Every op in the step is
+    batch-leading (no cross-example compute), so FLOPs are linear in b and
+    the per-batch MFU uses the batch-40 unrolled count scaled by b/40."""
+    import pathlib
+
+    import jax
+
+    cache_dir = pathlib.Path(__file__).parents[1] / ".jax_cache"
+    cache_dir.mkdir(exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", str(cache_dir))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    flops40 = _flops_via_cpu_subprocess()["diffusion_flops"]
+    rng = jax.random.PRNGKey(0)
+    rows = []
+    for dtype in ("f32", "bf16"):
+        for b in (40, 64, 128, 256):
+            try:
+                step, state, batch = bench_diffusion(
+                    jax.random.fold_in(rng, 3), b=b, dtype=dtype
+                )
+                dev_s = chained_slope(step, state, batch)
+            except Exception as e:
+                rows.append({"batch": b, "dtype": dtype,
+                             "error": f"{type(e).__name__}: {e}"[:200]})
+                print(json.dumps(rows[-1]), flush=True)
+                continue
+            flops = flops40 * b / 40
+            rows.append({
+                "batch": b, "dtype": dtype,
+                "step_ms": round(dev_s * 1e3, 2),
+                "samples_per_s": round(b / dev_s, 0),
+                "mfu": round(flops / dev_s / V5E_PEAK_FLOPS, 4),
+            })
+            print(json.dumps(rows[-1]), flush=True)
+    print(json.dumps({"sweep": rows}))
 
 
 def flops_only():
@@ -145,7 +211,11 @@ def flops_only():
     batch = np.zeros((256, 64, 78), np.float32)
     rvq_flops = compiled_flops(jax.jit(make_rvq_train_step(module, opt)), state, batch)
 
-    step_u, state_u, batch_u = bench_diffusion(jax.random.fold_in(rng, 2), scan_blocks=False)
+    # audio_conv_pack=False: MFU counts ALGORITHMIC flops — the packed
+    # convs' zero-wedge products (+6.7% on those convs) are not useful work
+    step_u, state_u, batch_u = bench_diffusion(
+        jax.random.fold_in(rng, 2), scan_blocks=False, audio_conv_pack=False
+    )
     diff_flops = compiled_flops(step_u, state_u, batch_u)
     print(json.dumps({"rvq_flops": rvq_flops, "diffusion_flops": diff_flops}))
 
@@ -230,5 +300,7 @@ def main():
 if __name__ == "__main__":
     if "--flops-only" in sys.argv:
         flops_only()
+    elif "--sweep" in sys.argv:
+        sweep()
     else:
         main()

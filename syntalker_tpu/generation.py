@@ -348,6 +348,7 @@ def make_fused_loop_sampler(
     *,
     tile_samples: int = 1,
     interpret: bool = False,
+    mesh=None,
 ):
     """Build the fused-loop windowed sampler: the ENTIRE NFE loop runs as
     one Pallas kernel per window (:func:`ops.mdm_pallas.
@@ -370,6 +371,15 @@ def make_fused_loop_sampler(
     η=0 without CFG/prompt/style. Factory-style (like the serving path's
     prebuilt ``make_fused_denoise``) so every jit below is traced once, not
     per call.
+
+    ``mesh``: data-parallel composition (VERDICT r3 #3) — the fused kernel
+    runs per-device under ``shard_map`` over the mesh's 'data' axis, and
+    every surrounding program (encode, noise prep, seed embed, stitch) is
+    jitted with batch-axis shardings so the state never gathers between
+    windows. Per-sample independence means zero collectives; the kernel
+    math is identical per shard (the sharded encode may compile with a
+    different conv reduction order, a ~1e-5 conditioning difference —
+    pinned at the fused-path tolerance in tests/test_mdm_pallas.py).
     """
     from syntalker_tpu.models.denoiser import Conditioning
     from syntalker_tpu.ops.mdm_pallas import make_fused_ddim_window
@@ -377,7 +387,7 @@ def make_fused_loop_sampler(
     variables = mdm_variables(mdm_params)
     fused = make_fused_ddim_window(
         mdm.cfg, mdm_params, diffusion, tile_samples=tile_samples,
-        interpret=interpret,
+        interpret=interpret, mesh=mesh,
     )
     lw = plan.latent_window
     pre = plan.pre_frames
@@ -385,7 +395,22 @@ def make_fused_loop_sampler(
     p = variables["params"]
     w_es, b_es = p["embed_seed"]["kernel"], p["embed_seed"]["bias"]
 
-    @jax.jit
+    if mesh is None:
+        jit_b0 = jit_b1 = jax.jit  # batch axis 0 / batch axis 1
+    else:
+        from jax.sharding import NamedSharding
+        from jax.sharding import PartitionSpec as PS
+
+        def ns(*spec):
+            return NamedSharding(mesh, PS(*spec))
+
+        def jit_b0(f):  # programs whose arrays are batch-leading
+            return jax.jit(f, out_shardings=ns("data"))
+
+        def jit_b1(f):  # programs over (W, B, ...) window stacks
+            return jax.jit(f, out_shardings=ns(None, "data"))
+
+    @jit_b0
     def prep_noise(rng, init_seed):
         # per-window initial noise, drawn in ONE dispatch with the exact
         # split chain of sample_windows_fused (key -> k_samp -> k0 per
@@ -399,7 +424,7 @@ def make_fused_loop_sampler(
             noises.append(_rng_normal(k0, (b, lw, J.LATENT_DIM)))
         return noises
 
-    @jax.jit
+    @jit_b1
     def encode_all(audio_windows, word_windows):
         # at_feat is seed-independent (the kernel consumes only
         # at_feat + seed_emb): ONE (W·B)-batched WavEncoder call up front
@@ -420,16 +445,16 @@ def make_fused_loop_sampler(
         cond = mdm.apply(variables, aw, ww, zseed, method="encode_cond")
         return cond.at_feat.reshape((n_w, b) + cond.at_feat.shape[1:])
 
-    @jax.jit
+    @jit_b0
     def seed_emb_first(seed):  # embed_seed dense, out-of-flax (exact)
         return seed.reshape(seed.shape[0], -1) @ w_es + b_es
 
-    @jax.jit
+    @jit_b0
     def seed_emb_next(x_prev):
         s = x_prev[:, -pre:, :]
         return s.reshape(s.shape[0], -1) @ w_es + b_es
 
-    @jax.jit
+    @jit_b0
     def stitch(outs):
         windows = jnp.stack(outs)  # (W, B, lw, 1536)
         b = windows.shape[1]

@@ -87,6 +87,14 @@ class MDMConfig:
     # Params stay f32 and every GroupNorm/BatchNorm computes its statistics
     # in f32, so only the conv arithmetic is reduced-precision.
     audio_dtype: jnp.dtype = jnp.float32
+    # pack pairs of output positions on the WavEncoder's 64-channel
+    # stride-1 convs so they fill all 128 MXU output lanes (exact math,
+    # same param tree — see _pair_packed_conv1d). MEASURED NEGATIVE
+    # (round 4, docs/train_roofline_round4.md): bf16 b128 34.3→34.6 ms,
+    # f32 b128 44.1→47.0 ms — XLA's conv lowering already fills the lanes
+    # (it blocks output positions itself), so the +6.7% wedge FLOPs only
+    # hurt. Kept off as an ablation instrument.
+    audio_conv_pack: bool = False
     # wav-encoder normalization: 'group' (training default — stateless),
     # 'batch' (reference-exact BatchNorm; batch_stats collection threads
     # through TrainState.model_state, and GSPMD makes the statistics
@@ -132,6 +140,47 @@ class _ConvP(nn.Module):
         return k, b
 
 
+def _pair_packed_conv1d(x, kernel, bias, *, dtype):
+    """Exact stride-1 'same' conv1d with two adjacent output positions
+    packed into one output row of 2·Cout channels.
+
+    The WavEncoder's stride-1 convs are 64→64 channels, so each MXU issue
+    fills only 64 of the 128 output lanes — the measured lane-fill bound on
+    the conv pyramid that dominates the diffusion train step (BASELINE.md).
+    Packing output positions (2m, 2m+1) into one row makes the conv
+    (k+1)//2 taps × 2Cin → 2Cout (here 8×128→128: full lanes), at the cost
+    of a zero wedge in the packed kernel (+1/k FLOPs ≈ 6.7%).
+
+    Derivation: with xp = pad(x, (p, p)) and z[m] = (xp[2m], xp[2m+1]),
+    y[2m]   = Σ_j xp[2m+j]·K[j]  = Σ_s z[m+s]·(K[2s], K[2s+1])
+    y[2m+1] = Σ_j xp[2m+1+j]·K[j] = Σ_s z[m+s]·(K[2s-1], K[2s])
+    with K[-1] = K[k] = 0 — i.e. one valid conv over z with the packed
+    kernel Kp[s] = [[K[2s], K[2s-1]], [K[2s+1], K[2s]]]. Exact: every
+    product is one of the original conv's products (zero wedges add
+    nothing); only the f32 accumulation order differs. Parameters are the
+    caller's plain (k, Cin, Cout) kernel — the packing is a trace-time
+    rearrangement, so checkpoints and init are unchanged.
+    """
+    k, cin, cout = kernel.shape
+    assert k % 2 == 1, "odd tap count required ('same' padding)"
+    pad = (k - 1) // 2
+    b, t, _ = x.shape
+    xp = jnp.pad(x, ((0, 0), (pad, pad + (t % 2)), (0, 0)))
+    z = xp.reshape(b, -1, 2 * cin)
+    kz = jnp.zeros((1, cin, cout), kernel.dtype)
+    kpad = jnp.concatenate([kernel, kz])  # K[j],   j = 0..k
+    km1 = jnp.concatenate([kz, kernel])  # K[j-1], j = 0..k
+    top = jnp.concatenate([kpad, km1], axis=-1)  # (k+1, Cin, 2Cout)
+    kp = top.reshape((k + 1) // 2, 2 * cin, 2 * cout)
+    y2 = jax.lax.conv_general_dilated(
+        z.astype(dtype), kp.astype(dtype),
+        window_strides=(1,), padding="VALID",
+        dimension_numbers=("NWC", "WIO", "NWC"),
+    )
+    y = y2.reshape(b, -1, cout)[:, :t]
+    return y + bias.astype(dtype)
+
+
 class AudioBasicBlock(nn.Module):
     """Residual conv block of the wav encoder (models/utils/layer.py:144-184).
 
@@ -159,6 +208,21 @@ class AudioBasicBlock(nn.Module):
     downsample: bool
     norm: str = "group"
     dtype: jnp.dtype = jnp.float32
+    # pack pairs of output positions on the stride-1 convs whose channel
+    # count fills ≤ half the MXU's 128 output lanes (_pair_packed_conv1d).
+    # Exact math, identical param tree; off switches back to plain convs.
+    pack: bool = True
+
+    def _conv_s1(self, x, name, train):
+        """Stride-1 'same' k=15 conv — packed when lane-fill-bound."""
+        if self.pack and 2 * self.channels <= 128:
+            k, b = _ConvP(15, x.shape[-1], self.channels, name=name)()
+            return _pair_packed_conv1d(x.astype(self.dtype), k, b,
+                                       dtype=self.dtype)
+        return _Conv(
+            self.channels, kernel_size=(15,), padding=((7, 7),),
+            dtype=self.dtype, name=name,
+        )(x)
 
     def _norm(self, x, name, train):
         # normalization statistics always in f32 (bf16 mean/var over 13k+
@@ -196,6 +260,9 @@ class AudioBasicBlock(nn.Module):
             ) + bb
             h, sc = out[..., :c], out[..., c:]
             sc = self._norm(sc, "down_norm", train)
+        elif self.stride == 1 and self.pad == 7:
+            h = self._conv_s1(x, "conv1", train)
+            sc = x.astype(jnp.float32)
         else:
             h = _Conv(
                 self.channels,
@@ -208,10 +275,7 @@ class AudioBasicBlock(nn.Module):
             sc = x.astype(jnp.float32)
         h = self._norm(h, "norm1", train)
         h = nn.leaky_relu(h, 0.01)
-        h = _Conv(
-            self.channels, kernel_size=(15,), padding=((7, 7),),
-            dtype=self.dtype, name="conv2",
-        )(h)
+        h = self._conv_s1(h, "conv2", train)
         h = self._norm(h, "norm2", train)
         return nn.leaky_relu(h + sc, 0.01)
 
@@ -226,6 +290,7 @@ class WavEncoder(nn.Module):
     out_dim: int = 256
     norm: str = "group"
     dtype: jnp.dtype = jnp.float32
+    pack: bool = True  # see AudioBasicBlock.pack
 
     @nn.compact
     def __call__(self, wav: jax.Array, *, train: bool = False) -> jax.Array:
@@ -245,7 +310,7 @@ class WavEncoder(nn.Module):
         for i, (c, s, p, down) in enumerate(plan):
             h = AudioBasicBlock(
                 c, s, p, down, norm=self.norm, dtype=self.dtype,
-                name=f"block_{i}",
+                pack=self.pack, name=f"block_{i}",
             )(h, train=train)
         return h  # (B, F, out_dim)
 
@@ -394,7 +459,7 @@ class MDM(nn.Module):
         c = self.cfg
         audio_feat = WavEncoder(
             c.audio_feat_dim, norm=c.audio_norm, dtype=c.audio_dtype,
-            name="wav_encoder",
+            pack=c.audio_conv_pack, name="wav_encoder",
         )(audio, train=train)
 
         word_table = self.param(

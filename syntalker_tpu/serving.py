@@ -111,13 +111,10 @@ class MotionGenerationService:
             # means GSPMD partitions every op on the batch dim with ZERO
             # collectives — throughput scales linearly with chips (the
             # per-chip operating point stays the BASELINE.md batch knee, so
-            # size max_batch = knee x n_chips). The fused Pallas path is a
-            # per-chip kernel; shard above it (one service per chip) instead.
-            if use_fused:
-                raise ValueError(
-                    "use_fused is a single-chip path; run one fused service "
-                    "per chip instead of mesh-sharding it"
-                )
+            # size max_batch = knee x n_chips). The fused Pallas kernel
+            # composes via shard_map over the data axis (each device runs
+            # the same kernel on its batch shard — make_fused_ddim_window
+            # mesh=...), so use_fused works under the mesh too (r4).
             if "data" not in mesh.shape:
                 raise ValueError(f"mesh needs a 'data' axis, got {mesh.shape}")
             if max_batch % mesh.shape["data"]:
@@ -130,6 +127,20 @@ class MotionGenerationService:
             def ns(*spec):
                 return NamedSharding(mesh, PartitionSpec(*spec))
 
+            if use_fused:
+                per_chip = max_batch // mesh.shape["data"]
+                tile = max(
+                    t for t in range(1, tile_samples + 1) if per_chip % t == 0
+                )
+                self._fused_sampler = G.make_fused_loop_sampler(
+                    mdm, mdm_params, diffusion, self.plan,
+                    tile_samples=tile, mesh=mesh,
+                )
+                self._jitted = self._generate_batch_fused_loop
+                self._jitted_decode = jax.jit(
+                    self._decode, out_shardings=(ns("data"), ns("data"))
+                )
+                return
             donate = (0, 2) if jax.default_backend() != "cpu" else ()
             self._jitted = jax.jit(
                 self._generate_batch,

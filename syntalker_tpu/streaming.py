@@ -32,9 +32,15 @@ Design notes (why the emission lags the audio):
   translation equals the offline cumsum up to float re-association.
 
 The sampler math is exactly :func:`generation.sample_windows_lean` (DDIM
-η=0, no CFG/prompt/style) run one window at a time with the identical RNG
-split chain, so the streamed latents match the offline batch sampler and
-the parity/quality results carry over.
+η=0) run one window at a time with the identical RNG split chain, so the
+streamed latents match the offline batch sampler and the parity/quality
+results carry over. Text-prompt body-part CFG and MotionCLIP style — the
+paper's control surface (reference diffusion/cfg_sampler.py:57-117) —
+stream too (round 4): pass ``prompts=/guidance=/style=`` and each window
+runs the SAME batched-branch CFG program as
+:func:`generation.sample_windows`, still one dispatch per window; the
+streamed output is pinned against the offline prompted sampler in
+tests/test_streaming.py.
 
 **One program per window.** On a remote-attached chip every eager op and
 every array fetch pays the relay round trip (~30 ms; CLAUDE.md), so the
@@ -97,6 +103,9 @@ class StreamingMotionSession:
         lookback: int = 16,
         lookahead: int = 8,
         rng: Optional[jax.Array] = None,
+        prompts: Optional[Dict[str, jax.Array]] = None,  # part -> (1, P)
+        guidance: Optional[dict] = None,  # audio_scale / prompt_scale
+        style: Optional[jax.Array] = None,  # (1, style_dim) MotionCLIP
     ):
         self.mdm, self.mdm_params = mdm, mdm_params
         self.diffusion = diffusion
@@ -115,6 +124,12 @@ class StreamingMotionSession:
         self.lookahead = lookahead
         if lookback + lookahead > self.lw:
             raise ValueError("lookback+lookahead must fit in one window")
+        self.prompts = prompts
+        self.guidance = guidance or {}
+        self.style = style
+        # lean fold only covers the plain audio path; prompts/style run the
+        # general batched-branch program (still one dispatch per window)
+        self._use_cfg = prompts is not None or style is not None
 
         self._audio = np.zeros((0, 2), np.float32)
         self._words = np.zeros((0,), np.int32)
@@ -188,6 +203,53 @@ class StreamingMotionSession:
         x, _ = jax.lax.scan(step, x, jnp.arange(s_steps))
         return x
 
+    def _sample_one_window_cfg(self, audio, word, seed, k_samp):
+        """One window of the general prompted sampler: identical math and
+        RNG consumption to one iteration of sample_windows' window scan
+        (encode branches once per window, body-part CFG batched into one
+        denoise forward per step — diffusion/cfg.py)."""
+        from syntalker_tpu.diffusion.cfg import make_bodypart_cfg_model_fn
+        from syntalker_tpu.diffusion.core import ddim_sample
+
+        mdm = self.mdm
+        variables = mdm_variables(self.mdm_params)
+        tmap = jnp.asarray(self.diffusion.timestep_map)
+        t_emb_all = mdm.apply(variables, tmap, method="embed_timesteps")
+
+        def denoise_fn(x, t, cond):
+            idx = jnp.searchsorted(tmap, t)
+            return mdm.apply(
+                variables, x, t, cond, method="denoise", t_emb=t_emb_all[idx]
+            )
+
+        def encode(**kw):
+            return mdm.apply(
+                variables, audio, word, seed, style=self.style,
+                method="encode_cond", **kw,
+            )
+
+        if self.prompts is None:
+            cond = encode()
+            model_fn = lambda x, t: denoise_fn(x, t, cond)  # noqa: E731
+        else:
+            cond_audio = encode(uncond_prompt=True)
+            uncond = encode(uncond_audio=True, uncond_prompt=True)
+            part_conds = {
+                name: (
+                    None if self.prompts.get(name) is None
+                    else encode(uncond_audio=True, prompt=self.prompts[name])
+                )
+                for name in J.LATENT_SLICES
+            }
+            model_fn = make_bodypart_cfg_model_fn(
+                denoise_fn, cond_audio, uncond, part_conds,
+                audio_scale=self.guidance.get("audio_scale", 1.0),
+                prompt_scale=self.guidance.get("prompt_scale", 4.0),
+            )
+        return ddim_sample(
+            self.diffusion, model_fn, (1, self.lw, J.LATENT_DIM), k_samp
+        )
+
     def _decode(self, latents):
         return G.decode_latents(
             latents,
@@ -213,9 +275,14 @@ class StreamingMotionSession:
         new_carry = carry + (tr[e - 1] - base) * jnp.asarray([1.0, 0.0, 1.0])
         return seg, new_carry
 
+    def _sample_window(self, audio, word, seed, k_samp):
+        if self._use_cfg:
+            return self._sample_one_window_cfg(audio, word, seed, k_samp)
+        return self._sample_one_window(audio, word, seed, k_samp)
+
     def _first_impl(self, audio, word, state):
         key, k_samp = _rng_split(state["key"])
-        x = self._sample_one_window(audio, word, state["seed"], k_samp)
+        x = self._sample_window(audio, word, state["seed"], k_samp)
         emit = self.lw - self.lookahead
         dec = self._decode(x)
         seg, carry = self._emit_from(dec, 0, emit, state["carry"])
@@ -229,7 +296,7 @@ class StreamingMotionSession:
 
     def _steady_impl(self, audio, word, state):
         key, k_samp = _rng_split(state["key"])
-        x = self._sample_one_window(audio, word, state["seed"], k_samp)
+        x = self._sample_window(audio, word, state["seed"], k_samp)
         fresh = x[:, self.pre_frames :, :]  # 28 latents
         buf = jnp.concatenate([state["tail"], fresh], axis=1)
         # tail spans [E-lookback, E+lookahead); emit [E, E+fresh)

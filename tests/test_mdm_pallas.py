@@ -184,6 +184,24 @@ class TestFusedDDIMWindow:
         err = float(jnp.abs(tiled - ref).max())
         assert err < 2e-2, err
 
+        # mesh composition (VERDICT r3 #3): the fused kernel shard_mapped
+        # over the data axis must reproduce the single-chip fused path.
+        # Per-sample independence means each shard's kernel sees exactly
+        # the same samples; the residual difference is the sharded
+        # encode_all compiling with a different conv reduction order
+        # (~1e-5 on the conditioning), amplified through the
+        # autoregressive window chain — same tolerance family as
+        # fused-vs-XLA above.
+        mesh = jax.make_mesh((2,), ("data",))
+        sampler = G.make_fused_loop_sampler(
+            mdm, params, diffusion, plan, tile_samples=1, interpret=True,
+            mesh=mesh,
+        )
+        sharded = sampler(aw, ww, seed0, key)
+        assert sharded.shape == out.shape
+        err = float(jnp.abs(sharded - out).max())
+        assert err < 2e-2, err
+
 
 class TestFusedDenoise:
     def test_matches_mdm_denoise(self, stack):
