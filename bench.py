@@ -280,6 +280,40 @@ def main():
     except Exception as e:  # never lose the headline metric to the probe
         print(f"# serving MFU probe failed: {type(e).__name__}: {e}", file=sys.stderr)
 
+    # ---- training MFU probe (VERDICT r3 #1c): the diffusion train step at
+    # the round-4 sweep knee (batch 128, bf16 fast-training config) — the
+    # last hot path, published every round alongside the serving numbers.
+    train = {}
+    try:
+        import pathlib as _pl
+        import sys as _sys
+
+        _sys.path.insert(0, str(_pl.Path(__file__).parent / "scripts"))
+        from bench_train import bench_diffusion, chained_slope
+
+        # compiled-HLO flops of the batch-40 unrolled step (scan bodies are
+        # undercounted; packing off so only algorithmic flops count), from
+        # `python scripts/bench_train.py --flops-only`; linear in batch.
+        DIFF_FLOPS_B40 = 708272914432.0
+        fl = _pl.Path(__file__).parent / ".jax_cache" / "train_flops.json"
+        if fl.exists():
+            DIFF_FLOPS_B40 = json.loads(fl.read_text())["diffusion_flops"]
+        tb = 128
+        step, state, batch = bench_diffusion(
+            jax.random.fold_in(jax.random.PRNGKey(5), 3), b=tb, dtype="bf16"
+        )
+        dev_s = chained_slope(step, state, batch, n_long=12, n_short=3)
+        train = {
+            "train_batch": tb,
+            "train_step_ms_bf16": round(dev_s * 1e3, 2),
+            "train_samples_per_s": round(tb / dev_s, 0),
+            "mfu_diffusion_train_bf16": round(
+                DIFF_FLOPS_B40 * tb / 40 / dev_s / V5E_PEAK_FLOPS, 4
+            ),
+        }
+    except Exception as e:
+        print(f"# train MFU probe failed: {type(e).__name__}: {e}", file=sys.stderr)
+
     realtime = motion_seconds / wall
     baseline_realtime = 63.5 / 60.0  # see module docstring
     result = {
@@ -294,6 +328,7 @@ def main():
         "realtime_device_only": round(motion_seconds / device_s, 1),
         "mfu_e2e_b1": round(e2e_mfu, 4) if np.isfinite(e2e_mfu) else None,
         **serving,
+        **train,
     }
     print(json.dumps(result))
     print(

@@ -44,15 +44,16 @@ SPLIT_FRAC = 0.72  # temporal split: train windows end before this point,
 # held-out windows start after it — zero frame overlap
 ORACLE_HIDDEN = 512  # reduced from the original 1024: tiny single-clip
 # corpus, and the artifact must stay small enough to commit (fp16 npz)
-ITERS = 1200
+ITERS = 2000
 BATCH = 32
 LR = 1e-4
 
 
-N_SYNTH = 12  # procedural clips mixed into the corpus (round 3: grows the
+N_SYNTH = 32  # procedural clips mixed into the corpus (round 3: grows the
 # caption diversity well past the single demo clip; held-out includes
-# ENTIRE unseen synthetic clips, a stronger protocol than frame splits)
-SYNTH_HOLDOUT = 3
+# ENTIRE unseen synthetic clips, a stronger protocol than frame splits.
+# round 4: 32 clips over all 8 speaker tempi + the finer caption grammar)
+SYNTH_HOLDOUT = 8
 
 
 def _synthetic_h3d_clips(smplx_model):
@@ -67,7 +68,7 @@ def _synthetic_h3d_clips(smplx_model):
 
     tracks = []
     for i in range(N_SYNTH):
-        speaker = (2, 4, 6, 8)[i % 4]
+        speaker = 1 + i % 8
         clip = synth_clip(speaker, i, 16.0 + 4.0 * (i % 3), seed=42)
         n = clip.poses.shape[0]
         contacts = np.asarray(S.foot_contacts(
@@ -126,6 +127,44 @@ def build_dataset():
     return captioned(train), captioned(test)
 
 
+def make_caption_sampler(captions, batch, seed=0):
+    """Caption-aware batch sampler (round 4): every batch carries BATCH
+    DISTINCT captions — duplicate captions inside in-batch NCE are FALSE
+    negatives (two correctly-matched pairs penalize each other) — and the
+    non-anchor captions are the anchor's nearest neighbors by token-set
+    Jaccard, so the contrastive task trains on HARD negatives (captions
+    differing in one or two attributes) instead of easy random ones."""
+    rng = np.random.default_rng(seed)
+    groups = {}
+    for i, c in enumerate(captions):
+        groups.setdefault(c, []).append(i)
+    caps = list(groups)
+    toks = [set(c.split()) for c in caps]
+    near = []
+    for a in range(len(caps)):
+        sim = np.asarray([
+            len(toks[a] & toks[b]) / len(toks[a] | toks[b])
+            for b in range(len(caps))
+        ])
+        sim[a] = -1.0
+        near.append(np.argsort(-sim))
+
+    def sample():
+        anchor = rng.integers(0, len(caps))
+        chosen = [anchor] + list(near[anchor][: batch - 1])
+        if len(chosen) < batch:  # tiny corpora: pad with random distinct
+            rest = [c for c in range(len(caps)) if c not in chosen]
+            rng.shuffle(rest)
+            chosen += rest[: batch - len(chosen)]
+        idx = [groups[caps[c]][rng.integers(0, len(groups[caps[c]]))]
+               for c in chosen[:batch]]
+        while len(idx) < batch:  # fewer distinct captions than batch
+            idx.append(int(rng.integers(0, len(captions))))
+        return np.asarray(idx)
+
+    return sample, len(caps)
+
+
 def train_bigru(train, rng):
     from syntalker_tpu.eval.t2m import (
         MotionEncoderBiGRUCo,
@@ -149,11 +188,11 @@ def train_bigru(train, rng):
     opt = optax.adam(LR)
     opt_state = opt.init(params)
     step = jax.jit(make_t2m_oracle_train_step(motion_enc, text_enc, opt))
-    rng_np = np.random.default_rng(0)
-    n = train["motion"].shape[0]
+    sample, n_caps = make_caption_sampler(train["captions"], BATCH, seed=0)
+    print(f"[bigru] {n_caps} distinct train captions (hard-negative batches)")
     losses = []
     for it in range(ITERS):
-        idx = rng_np.integers(0, n, BATCH)
+        idx = sample()
         batch = {
             "motion": jnp.asarray(train["motion"][idx]),
             "m_lens": jnp.full((BATCH,), WINDOW, jnp.int32),
@@ -231,11 +270,10 @@ def train_tmr(train, rng):
     # pre-embed the caption hidden states once (fixed-shape padding)
     hidden, mask = pipeline.hidden_states(train["captions"])
 
-    rng_np = np.random.default_rng(2)
-    n = train["motion"].shape[0]
+    sample, _ = make_caption_sampler(train["captions"], BATCH, seed=2)
     losses = []
     for it in range(ITERS):
-        idx = rng_np.integers(0, n, BATCH)
+        idx = sample()
         batch = {
             "text_hidden": jnp.asarray(hidden[idx]),
             "text_mask": jnp.asarray(mask[idx]),
@@ -308,20 +346,26 @@ def main():
 
     report = Path("docs/t2m_oracle_report.md")
     chance = bigru_eval["chance_top1"]
-    report.write_text(f"""# Self-hosted text-control oracle (round 2)
+    report.write_text(f"""# Self-hosted text-control oracle (round 4)
 
 Replaces the round-1 random-init evaluators (VERDICT Weak #7): both the
-BiGRU co-embedding oracle and the TMR encoders are now **trained artifacts**
+BiGRU co-embedding oracle and the TMR encoders are **trained artifacts**
 with a documented protocol, committed under `weights/t2m_oracle/`.
 
 ## Data & protocol
 
-- demo clip 2_scott_0_1_1 (the only shipped GT motion) -> h3d-623 features
+- demo clip 2_scott_0_1_1 (the only shipped GT motion) + {N_SYNTH}
+  procedural clips over all 8 speaker tempi -> h3d-623 features
   via JAX SMPL-X FK (synthetic skeleton), {WINDOW}-frame windows, stride {STRIDE}.
 - Captions are **deterministic rules over the motion itself**
-  (`data/captions.py`): stance / tempo / dominant-arm / hand-height grammar
-  with known POS tags — {len(caps)} distinct captions in the train corpus.
-- Temporal split at {SPLIT_FRAC:.0%}: {train['motion'].shape[0]} train windows,
+  (`data/captions.py`): stance / tempo / dominant-arm / hand-height /
+  amplitude / turning / stance-width grammar (round-4 extension) with
+  known POS tags — {len(caps)} distinct captions in the train corpus.
+- Hard-negative batches: every NCE batch carries {BATCH} DISTINCT captions
+  chosen as token-Jaccard nearest neighbors of an anchor (duplicate
+  captions in-batch are false negatives; random negatives are too easy).
+- Temporal split at {SPLIT_FRAC:.0%} on the demo clip + {SYNTH_HOLDOUT}
+  ENTIRE held-out synthetic clips: {train['motion'].shape[0]} train /
   {test['motion'].shape[0]} held-out windows (no frame overlap).
   R-precision over pools of
   {bigru_eval['pool']} candidates, 20 replications

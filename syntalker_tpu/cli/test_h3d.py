@@ -45,6 +45,9 @@ def main(argv=None):
     p.add_argument("--replications", type=int, default=20)
     p.add_argument("--max-clips", type=int, default=None)
     p.add_argument("--mm-repeats", type=int, default=0)
+    p.add_argument("--steering-clips", type=int, default=4,
+                   help="clips for the tracked prompt-steering metric")
+    p.add_argument("--no-steering", action="store_true")
     args = p.parse_args(argv)
     cfg = setup(args)
     smplx_model = load_smplx_if_available(cfg)
@@ -99,6 +102,7 @@ def main(argv=None):
 
     n_clips = min(len(cache), args.max_clips or len(cache))
     text_features = []
+    captions = []
     for i in range(n_clips):
         import jax.numpy as jnp
 
@@ -107,6 +111,7 @@ def main(argv=None):
         we, po, ln, caps = caption_batch(joints)
         log.info(f"clip {i} caption: {caps[0].text}")
         text_features.append({"word_embs": we, "pos_ohot": po, "cap_lens": ln})
+        captions.append(caps[0].text)
 
     results = evaluator.evaluate(
         cache,
@@ -120,6 +125,14 @@ def main(argv=None):
         k: {"mean": np.asarray(v[0]).tolist(), "ci95": np.asarray(v[1]).tolist()}
         for k, v in results.items()
     }
+    if cfg.mdm.use_prompt and not args.no_steering:
+        # tracked steering number (VERDICT r3 #9): prompted-vs-unprompted
+        # oracle-distance gain + off-part leakage on the first clips
+        out.update(evaluator.steering_metrics(
+            cache, jax.random.fold_in(rng, 8),
+            captions=captions, text_features=text_features,
+            max_clips=min(n_clips, args.steering_clips),
+        ))
     out_path = Path(cfg.train.ckpt_dir or ".") / "h3d_metrics.json"
     out_path.parent.mkdir(parents=True, exist_ok=True)
     out_path.write_text(json.dumps(out, indent=1))

@@ -109,6 +109,46 @@ def caption_motion(joints: np.ndarray, fps: int = 30) -> Caption:
 
     if head_speed > 0.6:
         words += [("while", "SCONJ"), ("nodding", "VERB")]
+
+    # ---- round-4 clauses: finer-grained attributes so pools of 16 rarely
+    # contain duplicate captions (duplicate captions cap R-precision: the
+    # text cannot prefer one of two identically-captioned motions) --------
+    # gesture amplitude: dominant-wrist excursion around its mean position
+    amp = float(np.linalg.norm(
+        j[:, dom] - j[:, dom].mean(axis=0), axis=-1
+    ).std()) / scale
+    if amp > 0.30:
+        words += [("with", "ADP"), ("broad", "ADJ"), ("gestures", "NOUN")]
+    elif amp < 0.12:
+        words += [("with", "ADP"), ("small", "ADJ"), ("gestures", "NOUN")]
+
+    # dominant hand's height relative to the shoulder line (absolute pose
+    # attribute, scale-invariant; robust to the synthetic skeleton because
+    # it is a DIFFERENCE of two tracked points)
+    sh_y = j[:, [L_SHOULDER, R_SHOULDER], 1].mean()
+    rel_h = float((j[:, dom, 1].mean() - sh_y) / scale)
+    if rel_h > 0.15:
+        words += [("held", "VERB"), ("high", "ADV")]
+    elif rel_h < -0.75:
+        words += [("kept", "VERB"), ("low", "ADV")]
+
+    # torso turning: yaw rate of the shoulder line
+    sh_vec = j[:, R_SHOULDER, [0, 2]] - j[:, L_SHOULDER, [0, 2]]
+    yaw = np.unwrap(np.arctan2(sh_vec[:, 1], sh_vec[:, 0]))
+    yaw_rate = float((yaw[-1] - yaw[0]) * fps / max(j.shape[0] - 1, 1))
+    if yaw_rate > 0.25:
+        words += [("turning", "VERB"), ("left", "ADV")]
+    elif yaw_rate < -0.25:
+        words += [("turning", "VERB"), ("right", "ADV")]
+
+    # stance width (feet apart vs together), in shoulder widths
+    stance = float(np.linalg.norm(
+        j[:, L_FOOT, [0, 2]] - j[:, R_FOOT, [0, 2]], axis=-1
+    ).mean()) / scale
+    if stance > 1.0:
+        words += [("feet", "NOUN"), ("apart", "ADV")]
+    elif stance < 0.55:
+        words += [("feet", "NOUN"), ("together", "ADV")]
     return _phrase(words)
 
 

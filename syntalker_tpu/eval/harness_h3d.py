@@ -121,6 +121,79 @@ class H3DEvaluator:
 
     # ------------------------------------------------------------------
 
+    def steering_metrics(
+        self,
+        cache: BeatCache,
+        rng,
+        *,
+        captions: List[str],
+        text_features: List[dict],
+        max_clips: int = 4,
+        part: str = "upper",
+    ) -> Dict[str, float]:
+        """Tracked prompt-steering measurement (VERDICT r3 #9): per clip,
+        generate UNPROMPTED and PROMPTED (the clip's own caption on one
+        body part) from the same noise, then report
+
+        - ``prompt_gain``: mean decrease of the oracle text↔motion
+          co-embedding distance when the prompt is applied — positive
+          means prompting pulls the generation toward the text (the
+          paper's claimed capability, cfg_sampler.py:57-117);
+        - ``offpart_leakage``: relative 623-feature change on the
+          UNPROMPTED parts — body-part CFG should steer the prompted part
+          without rewriting the others.
+
+        Promoted from the one-off synthetic-causal demonstration
+        (scripts/demo_prompt_steering.py / docs/prompt_steering_round3.md)
+        into the metric suite so steering is regression-tracked.
+        """
+        from syntalker_tpu.data.h3d import part_mask_623
+
+        n_clips = min(len(cache), max_clips, len(captions))
+        gains, leaks, moved = [], [], []
+        other = [p for p in J.LATENT_SLICES if p != part]
+        for i in range(n_clips):
+            sample = cache.get(i)
+            key = jax.random.fold_in(rng, 10_000 + i)
+            base = self.generate_clip(sample, key)
+            prompted = self.generate_clip(
+                sample, key, prompts={part: captions[i]}
+            )
+            n = min(base["n_frames"], prompted["n_frames"])
+            tf = text_features[i]
+            t_emb, m_base = self.t2m_evaluator.get_co_embeddings(
+                tf["word_embs"], tf["pos_ohot"], tf["cap_lens"],
+                base["features"][None, :n], np.asarray([n]),
+            )
+            _, m_prom = self.t2m_evaluator.get_co_embeddings(
+                tf["word_embs"], tf["pos_ohot"], tf["cap_lens"],
+                prompted["features"][None, :n], np.asarray([n]),
+            )
+            d_base = float(np.linalg.norm(t_emb - m_base))
+            d_prom = float(np.linalg.norm(t_emb - m_prom))
+            gains.append(d_base - d_prom)
+            # feature-space locality
+            mask_p = np.asarray(part_mask_623(part))
+            dp = np.abs(prompted["features"][:n][:, mask_p]
+                        - base["features"][:n][:, mask_p]).mean()
+            sp = np.abs(base["features"][:n][:, mask_p]).mean() + 1e-9
+            moved.append(float(dp / sp))
+            lk = []
+            for o in other:
+                mask_o = np.asarray(part_mask_623(o))
+                do = np.abs(prompted["features"][:n][:, mask_o]
+                            - base["features"][:n][:, mask_o]).mean()
+                so = np.abs(base["features"][:n][:, mask_o]).mean() + 1e-9
+                lk.append(do / so)
+            leaks.append(float(np.mean(lk)))
+        return {
+            "steering_prompt_gain": float(np.mean(gains)),
+            "steering_prompted_part_rel_change": float(np.mean(moved)),
+            "steering_offpart_leakage": float(np.mean(leaks)),
+            "steering_clips": n_clips,
+            "steering_part": part,
+        }
+
     def evaluate(
         self,
         cache: BeatCache,

@@ -93,3 +93,25 @@ def test_replication_protocol(evaluator, h3d_test_cache):
     assert "fid" in results and "diversity" in results
     mean, ci = results["fid"]
     assert np.isfinite(mean)
+
+
+def test_steering_metrics(evaluator, h3d_test_cache):
+    """The tracked steering numbers (VERDICT r3 #9) compute and have the
+    right structure on a tiny model: a finite gain (sign untestable on
+    random weights) and positive part-change/leakage ratios."""
+    from syntalker_tpu.data.captions import caption_batch
+    from syntalker_tpu.data.h3d import recover_from_ric
+
+    feats = h3d_test_cache.get(0)["h3d"]
+    joints = np.asarray(recover_from_ric(jnp.asarray(feats[None])))
+    we, po, ln, caps = caption_batch(joints)
+    out = evaluator.steering_metrics(
+        h3d_test_cache, jax.random.PRNGKey(3),
+        captions=[caps[0].text],
+        text_features=[{"word_embs": we, "pos_ohot": po, "cap_lens": ln}],
+        max_clips=1,
+    )
+    assert out["steering_clips"] == 1
+    assert np.isfinite(out["steering_prompt_gain"])
+    assert out["steering_prompted_part_rel_change"] >= 0
+    assert out["steering_offpart_leakage"] >= 0
