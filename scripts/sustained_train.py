@@ -85,7 +85,8 @@ def _caches():
 def stage_diff(args):
     import jax
 
-    from syntalker_tpu.data.cache import PrefetchLoader, shard_batch
+    from syntalker_tpu.data.cache import PrefetchLoader
+    from syntalker_tpu.parallel.mesh import shard_batch
     from syntalker_tpu.train import state as ts
     from syntalker_tpu.train.loop import DiffusionTrainer
 
@@ -234,15 +235,21 @@ def main(args):
                   if resume_step - 500 <= r["step"] <= resume_step]
         after = [r["loss"] for r in rows
                  if resume_step < r["step"] <= resume_step + 500]
-        mb, ma = float(np.mean(before)), float(np.mean(after))
-        sd = float(np.std([r["loss"] for r in rows
-                           if resume_step - 1000 <= r["step"] <= resume_step]
-                          or [0.1]))
-        report["continuity"] = {
-            "mean_loss_before": mb, "mean_loss_after": ma,
-            "window_std": sd, "ok": bool(ma <= mb + 3 * max(sd, 0.01)),
-        }
-        assert report["continuity"]["ok"], report["continuity"]
+        if not before or not after:
+            # kill landed during compile (no steps before the resume) or at
+            # the very last step (none after) — nothing to compare
+            report["continuity"] = {"skipped": "no loss rows on one side "
+                                               f"of resume step {resume_step}"}
+        else:
+            mb, ma = float(np.mean(before)), float(np.mean(after))
+            sd = float(np.std([r["loss"] for r in rows
+                               if resume_step - 1000 <= r["step"] <= resume_step]
+                              or [0.1]))
+            report["continuity"] = {
+                "mean_loss_before": mb, "mean_loss_after": ma,
+                "window_std": sd, "ok": bool(ma <= mb + 3 * max(sd, 0.01)),
+            }
+            assert report["continuity"]["ok"], report["continuity"]
     losses = [r["loss"] for r in rows]
     report["diffusion"] = {
         "first_loss": losses[0], "last_loss": float(np.mean(losses[-10:])),

@@ -125,6 +125,18 @@ def _resolve_type(field):
     return t
 
 
+# YAML carries dtypes as strings ("bf16"); the dataclasses want jnp dtypes.
+# Short aliases follow the repo's prose convention (BASELINE.md tables).
+_DTYPE_ALIASES = {"bf16": "bfloat16", "f32": "float32", "fp32": "float32",
+                  "f16": "float16", "fp16": "float16"}
+
+
+def _parse_dtype(s: str):
+    import jax.numpy as jnp  # deferred: config parsing shouldn't force jax
+
+    return jnp.dtype(_DTYPE_ALIASES.get(s, s))
+
+
 def _from_dict(cls, d: Dict[str, Any]):
     if not dataclasses.is_dataclass(cls):
         return d
@@ -138,6 +150,8 @@ def _from_dict(cls, d: Dict[str, Any]):
             kwargs[k] = _from_dict(t, v)
         elif t is not None and get_origin(t) is tuple and isinstance(v, (list, tuple)):
             kwargs[k] = tuple(v)
+        elif k.endswith("dtype") and isinstance(v, str):
+            kwargs[k] = _parse_dtype(v)
         else:
             kwargs[k] = v
     return cls(**kwargs)

@@ -5,6 +5,7 @@ round-trip with full state (params + optimizer + codebooks)."""
 import dataclasses
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -105,6 +106,15 @@ class TestConfig:
         assert cfg.mdm.num_layers == 2
         assert cfg.train.lr == 1e-3
         assert cfg.latent_scale == 7.5
+
+    def test_dtype_strings_coerced(self, tmp_path):
+        y = tmp_path / "c.yaml"
+        y.write_text("mdm:\n  dtype: bf16\n  audio_dtype: bfloat16\n")
+        cfg = load_config(y, [])
+        assert jnp.zeros((1,), cfg.mdm.dtype).dtype == jnp.bfloat16
+        assert jnp.zeros((1,), cfg.mdm.audio_dtype).dtype == jnp.bfloat16
+        cfg = load_config(y, ["mdm.dtype=f32"])
+        assert jnp.zeros((1,), cfg.mdm.dtype).dtype == jnp.float32
 
     def test_unknown_key_rejected(self, tmp_path):
         y = tmp_path / "c.yaml"
