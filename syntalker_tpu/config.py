@@ -57,6 +57,10 @@ class TrainConfig:
     ckpt_dir: str = "./outputs/ckpt"
     resume: str = ""
     debug: bool = False  # 2-iteration epochs + ckpt round-trip (train.py:280-284)
+    # keep the whole window cache in HBM and gather batches on-device
+    # (data/cache.py DeviceDataset) — removes per-step h2d entirely when
+    # the corpus fits (BEAT2 speaker-2 scale ≈1.5 GB vs 16 GB/chip)
+    device_data: bool = False
     # mesh
     data_parallel: int = -1  # -1 = all devices
     model_parallel: int = 1

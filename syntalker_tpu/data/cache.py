@@ -349,6 +349,70 @@ class PrefetchLoader:
         t.join()
 
 
+class DeviceDataset:
+    """The entire window set resident in device memory; batches are gathered
+    on-device by index instead of transferred per step.
+
+    Rationale (measured on the v5e tunnel, round 4): host→device moves
+    ~42 MB/s, so a batch-128 diffusion step pays ~1.4 s transferring its
+    ~57 MB of raw audio + pose for ~34 ms of compute — training is 97%
+    transfer-bound with any host-side loader. The TPU-native fix is to pay
+    the transfer ONCE: the full cache is small relative to HBM (the
+    synthetic corpus ≈0.25 GB; the reference's whole BEAT2 speaker-2
+    training split ≈1.5 GB vs 16 GB/chip), so we `device_put` every window
+    up front and gather `arrays[k][idx]` inside the jitted train step.
+    Steady-state h2d per step is then the 4-byte×batch index vector.
+
+    Batch composition is bit-identical to `BatchLoader` (same per-epoch
+    permutation RNG, same drop-last slicing), so loss curves are unchanged;
+    only where the bytes move from changes. Under a data-parallel mesh the
+    arrays are replicated and the gathered batch is sharding-constrained to
+    the `data` axis, letting XLA slice the gather per device.
+
+    Stands in for the reference's LMDB + torch DataLoader worker pool
+    (beat_sep_lower.py:86-130, train.py:54-61) on the training hot path.
+    """
+
+    def __init__(self, cache: BeatCache, keys, batch_size: int, *,
+                 seed=0, shuffle=True, mesh=None):
+        import jax
+
+        self.batch_size = batch_size
+        self.seed = seed
+        self.shuffle = shuffle
+        self.n = len(cache)
+        samples = [cache.get(i) for i in range(self.n)]
+        host = {
+            k: np.stack([s[k] for s in samples])
+            for k in keys
+            if k in samples[0]
+        }
+        del samples
+        self.nbytes = sum(v.nbytes for v in host.values())
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            sharding = NamedSharding(mesh, PartitionSpec())
+            self.arrays = {
+                k: jax.device_put(v, sharding) for k, v in host.items()
+            }
+        else:
+            self.arrays = {k: jax.device_put(v) for k, v in host.items()}
+
+    def __len__(self):
+        return self.n // self.batch_size
+
+    def epoch_indices(self, epoch: int):
+        """Per-batch int32 index vectors; identical order to BatchLoader."""
+        order = np.arange(self.n)
+        if self.shuffle:
+            np.random.default_rng(self.seed + epoch).shuffle(order)
+        for b in range(len(self)):
+            yield order[b * self.batch_size : (b + 1) * self.batch_size].astype(
+                np.int32
+            )
+
+
 class BatchLoader:
     """Deterministic shuffled batcher over a BeatCache (replaces the
     torch DataLoader + DistributedSampler of train.py:54-61: under pjit a

@@ -36,6 +36,26 @@ from syntalker_tpu.utils.tracking import EpochTracker, StepTimer, set_random_see
 log = logging.getLogger("syntalker")
 
 
+def _make_indexed_step(raw_step, featurize, mesh):
+    """Jitted step over a device-resident dataset: gather the batch by index
+    on-device, constrain it onto the data axis, then run the normal step.
+    The only per-step h2d is the int32 index vector (data/cache.py
+    DeviceDataset — the transfer-bound-loader fix)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    data_sharding = NamedSharding(mesh, P("data"))
+
+    def indexed_step(state, arrays, idx):
+        batch = jax.tree.map(lambda a: a[idx], arrays)
+        if mesh.shape["data"] > 1:
+            batch = jax.lax.with_sharding_constraint(
+                batch, jax.tree.map(lambda _: data_sharding, batch)
+            )
+        return raw_step(state, featurize(batch))
+
+    return jax.jit(indexed_step)
+
+
 def _rvq_cfg(cfg: ExperimentConfig, part: str):
     """Body-part RVQ config sized to match the denoiser latent (one third
     of latent_total_dim per part) and the chosen motion representation."""
@@ -205,6 +225,8 @@ class DiffusionTrainer:
             return raw_step(state, featurize(batch))
 
         self.step = jax.jit(fused_step)
+        self.step_indexed = _make_indexed_step(raw_step, featurize, self.mesh)
+        self._dataset = None
         self.tracker = EpochTracker({"fid": False, "bc": True, "l1div": True})
 
         with self.mesh:
@@ -224,16 +246,41 @@ class DiffusionTrainer:
         log.info(f"resumed from {path} at step {step}")
         return step
 
-    def train_epoch(self, epoch: int) -> Dict[str, float]:
-        timer = StepTimer()
-        with self.mesh:
-            for it, batch in enumerate(self.loader.epoch(epoch)):
-                batch = shard_batch(
+    def device_dataset(self):
+        """Lazily upload the whole cache to HBM (cfg.train.device_data)."""
+        if self._dataset is None:
+            from syntalker_tpu.data.cache import DeviceDataset
+
+            self._dataset = DeviceDataset(
+                self.loader.cache, self._batch_keys, self.cfg.train.batch_size,
+                seed=self.cfg.train.seed, mesh=self.mesh,
+            )
+            log.info(
+                f"device-resident dataset: {self._dataset.n} windows, "
+                f"{self._dataset.nbytes / 1e9:.2f} GB uploaded once"
+            )
+        return self._dataset
+
+    def _epoch_batches(self, epoch: int):
+        """Yield step thunks: (run, is_device_resident)."""
+        if self.cfg.train.device_data:
+            ds = self.device_dataset()
+            for idx in ds.epoch_indices(epoch):
+                yield lambda s, i=idx: self.step_indexed(s, ds.arrays, i)
+        else:
+            for batch in self.loader.epoch(epoch):
+                b = shard_batch(
                     {k: batch[k] for k in self._batch_keys if k in batch},
                     self.mesh,
                 )
+                yield lambda s, b=b: self.step(s, b)
+
+    def train_epoch(self, epoch: int) -> Dict[str, float]:
+        timer = StepTimer()
+        with self.mesh:
+            for it, run in enumerate(self._epoch_batches(epoch)):
                 timer.mark_data()
-                self.state, metrics = self.step(self.state, batch)
+                self.state, metrics = run(self.state)
                 if it % self.cfg.train.log_period == 0:
                     loss = float(metrics["predict_x0_loss"])
                     self.tracker.update("predict_x0_loss", "train", loss)
@@ -323,7 +370,33 @@ class RVQTrainer:
             return raw_step(state, featurize(batch))
 
         self.step = jax.jit(fused_step)
+        self.step_indexed = _make_indexed_step(raw_step, featurize, self.mesh)
+        self._dataset = None
         self.tracker = EpochTracker()
+
+    def device_dataset(self):
+        if self._dataset is None:
+            from syntalker_tpu.data.cache import DeviceDataset
+
+            self._dataset = DeviceDataset(
+                self.loader.cache, self._batch_keys,
+                self.cfg.rvq_train.batch_size,
+                seed=self.cfg.train.seed, mesh=self.mesh,
+            )
+        return self._dataset
+
+    def _epoch_batches(self, epoch: int):
+        if self.cfg.train.device_data:
+            ds = self.device_dataset()
+            for idx in ds.epoch_indices(epoch):
+                yield lambda s, i=idx: self.step_indexed(s, ds.arrays, i)
+        else:
+            for batch in self.loader.epoch(epoch):
+                b = shard_batch(
+                    {k: batch[k] for k in self._batch_keys if k in batch},
+                    self.mesh,
+                )
+                yield lambda s, b=b: self.step(s, b)
 
     def train(self, total_iters: Optional[int] = None):
         total = total_iters or self.cfg.rvq_train.total_iters
@@ -336,12 +409,8 @@ class RVQTrainer:
         epoch = 0
         with self.mesh:
             while it < total:
-                for batch in self.loader.epoch(epoch):
-                    batch = shard_batch(
-                        {k: batch[k] for k in self._batch_keys if k in batch},
-                        self.mesh,
-                    )
-                    self.state, metrics = self.step(self.state, batch)
+                for run in self._epoch_batches(epoch):
+                    self.state, metrics = run(self.state)
                     it += 1
                     if it % self.cfg.train.log_period == 0:
                         log.info(

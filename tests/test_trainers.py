@@ -93,6 +93,49 @@ class TestDiffusionTrainer:
         assert np.isfinite(metrics["train/predict_x0_loss"])
         assert int(trainer.state.step) == len(trainer.loader)
 
+    def test_device_resident_matches_host_path(self, tiny_cache, tmp_path):
+        """The DeviceDataset path (whole cache in HBM, on-device gather)
+        must produce the SAME batches and step numerics as the host loader:
+        identical epoch permutation, and identical loss on the same batch."""
+        from syntalker_tpu.data.cache import DeviceDataset
+        from syntalker_tpu.parallel.mesh import shard_batch
+
+        cfg = tiny_config(tmp_path)
+        trainer = DiffusionTrainer(cfg, tiny_cache)
+        ds = trainer.device_dataset()
+        # 1) epoch order is bit-identical to BatchLoader's
+        host_batches = list(trainer.loader.epoch(3))
+        idxs = list(ds.epoch_indices(3))
+        assert len(idxs) == len(host_batches)
+        np.testing.assert_array_equal(
+            np.asarray(jax.device_get(ds.arrays["audio"]))[idxs[0]],
+            host_batches[0]["audio"],
+        )
+        # 2) one step through each path from the same state -> same metrics
+        state0 = trainer.state
+        with trainer.mesh:
+            hb = shard_batch(
+                {k: host_batches[0][k] for k in trainer._batch_keys},
+                trainer.mesh,
+            )
+            _, m_host = trainer.step(state0, hb)
+            _, m_dev = trainer.step_indexed(state0, ds.arrays, idxs[0])
+        np.testing.assert_allclose(
+            float(m_host["predict_x0_loss"]),
+            float(m_dev["predict_x0_loss"]),
+            rtol=1e-5,
+        )
+
+    def test_device_resident_epoch_flag(self, tiny_cache, tmp_path):
+        cfg = tiny_config(tmp_path)
+        cfg = dataclasses.replace(
+            cfg, train=dataclasses.replace(cfg.train, device_data=True)
+        )
+        trainer = DiffusionTrainer(cfg, tiny_cache)
+        metrics = trainer.train_epoch(0)
+        assert np.isfinite(metrics["train/predict_x0_loss"])
+        assert int(trainer.state.step) == len(trainer.device_dataset())
+
 
 class TestConfig:
     def test_yaml_and_overrides(self, tmp_path):
