@@ -59,7 +59,7 @@ def _exp_cfg(vocab_n, *, batch_size, ckpt_dir, dtype="bf16"):
         mdm=mdm_cfg,
         diffusion=DiffusionConfig(),
         train=TrainConfig(batch_size=batch_size, ckpt_dir=str(ckpt_dir),
-                          log_period=50),
+                          log_period=50, device_data=True),
     )
 
 

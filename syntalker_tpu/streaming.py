@@ -368,6 +368,86 @@ class StreamingMotionSession:
         self.stream_stats.frames_emitted += len(seg["axis_angle"])
         return seg
 
+    # ------------------------------------------------------------------
+    # cold-start mitigation: ahead-of-time compiled executables
+
+    def _aot_signature(self) -> dict:
+        """Everything the compiled programs' shapes/branches depend on."""
+        return {
+            "pose_length": self.pose_length,
+            "pre_frames": self.pre_frames,
+            "squeeze": self.squeeze,
+            "lookback": self.lookback,
+            "lookahead": self.lookahead,
+            "sr": self.sr,
+            "fps": self.fps,
+            "use_cfg": self._use_cfg,
+            "prompt_parts": sorted(self.prompts) if self.prompts else [],
+            "num_steps": int(self.diffusion.num_steps),
+            "latent_dim": int(self.mdm.cfg.latent_dim),
+            "backend": jax.default_backend(),
+            "n_devices": jax.device_count(),
+        }
+
+    def _aot_args(self, name: str):
+        a = jnp.zeros((1, self.pose_length * self.spf, 2), jnp.float32)
+        w = jnp.zeros((1, self.pose_length), jnp.int32)
+        return (self._state,) if name == "flush" else (a, w, self._state)
+
+    def save_compiled(self, directory) -> None:
+        """Compile the three window programs and serialize the PJRT
+        executables to ``directory``. A later process on the same device
+        topology can :meth:`load_compiled` them and skip tracing AND XLA
+        compilation entirely — measured on the tunneled v5e, this cuts
+        time-to-first-window from minutes (remote compile) to seconds
+        (scripts/probe_cold_start.py; BASELINE.md cold-start row)."""
+        import pickle
+        from pathlib import Path
+
+        from jax.experimental import serialize_executable as se
+
+        d = Path(directory)
+        d.mkdir(parents=True, exist_ok=True)
+        for name in ("first", "steady", "flush"):
+            fn = getattr(self, f"_{name}")
+            compiled = fn.lower(*self._aot_args(name)).compile()
+            payload, in_tree, out_tree = se.serialize(compiled)
+            (d / f"{name}.bin").write_bytes(payload)
+            (d / f"{name}.trees").write_bytes(pickle.dumps((in_tree, out_tree)))
+        (d / "signature.json").write_text(
+            __import__("json").dumps(self._aot_signature())
+        )
+
+    def load_compiled(self, directory) -> None:
+        """Replace the jitted window programs with executables serialized by
+        :meth:`save_compiled`. Raises if the session configuration or device
+        topology differs from the one that saved them (executables are
+        shape- and topology-specific by construction)."""
+        import json as _json
+        import pickle
+        from pathlib import Path
+
+        from jax.experimental import serialize_executable as se
+
+        d = Path(directory)
+        saved = _json.loads((d / "signature.json").read_text())
+        mine = self._aot_signature()
+        if saved != mine:
+            diff = {k: (saved.get(k), mine.get(k))
+                    for k in set(saved) | set(mine)
+                    if saved.get(k) != mine.get(k)}
+            raise ValueError(f"AOT executables don't match this session: {diff}")
+        for name in ("first", "steady", "flush"):
+            payload = (d / f"{name}.bin").read_bytes()
+            in_tree, out_tree = pickle.loads((d / f"{name}.trees").read_bytes())
+            # the session programs are single-device (no mesh); without an
+            # explicit assignment deserialize_and_load spreads the executable
+            # over every addressable device and execution fails on hosts
+            # exposing more than one (e.g. the 8-virtual-CPU test backend)
+            setattr(self, f"_{name}",
+                    se.deserialize_and_load(payload, in_tree, out_tree,
+                                            execution_devices=jax.devices()[:1]))
+
     def finish(self, *, pad_final: bool = False) -> List[Dict[str, np.ndarray]]:
         """Flush the lookahead hold-back. By default trailing audio short
         of a full window is dropped — exactly the offline plan's

@@ -217,3 +217,36 @@ class TestStreaming:
         assert sess.stream_stats.windows_run == 2
         total = sum(len(s["axis_angle"]) for s in segs)
         assert total == 240  # two windows' stitched span
+
+
+class TestAOTColdStart:
+    def test_save_load_compiled_roundtrip(self, stack, tmp_path):
+        """AOT-serialized executables must reproduce the jitted programs
+        exactly, and refuse a session whose shapes differ."""
+        n_frames = 240
+        g = np.random.default_rng(3)
+        feats = g.normal(0, 0.1, (533 * n_frames, 2)).astype(np.float32)
+
+        ref = _make_session(stack)
+        ref_segs = ref.push_audio(feats) + ref.finish()
+
+        saver = _make_session(stack)
+        saver.save_compiled(tmp_path / "aot")
+
+        loaded = _make_session(stack)
+        loaded.load_compiled(tmp_path / "aot")
+        got_segs = loaded.push_audio(feats) + loaded.finish()
+
+        assert len(got_segs) == len(ref_segs)
+        for a, b in zip(got_segs, ref_segs):
+            np.testing.assert_allclose(
+                a["axis_angle"], b["axis_angle"], atol=1e-6
+            )
+            np.testing.assert_allclose(a["trans"], b["trans"], atol=1e-6)
+
+    def test_load_compiled_rejects_mismatched_session(self, stack, tmp_path):
+        saver = _make_session(stack)
+        saver.save_compiled(tmp_path / "aot")
+        other = _make_session(stack, lookahead=4)
+        with pytest.raises(ValueError, match="don't match"):
+            other.load_compiled(tmp_path / "aot")
