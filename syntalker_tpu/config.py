@@ -156,6 +156,15 @@ def _from_dict(cls, d: Dict[str, Any]):
             kwargs[k] = tuple(v)
         elif k.endswith("dtype") and isinstance(v, str):
             kwargs[k] = _parse_dtype(v)
+        elif t is float and isinstance(v, (str, int)):
+            # YAML 1.1 parses exponent-only literals ("5e-5") as STRINGS —
+            # without this the optimizer receives lr as a str and the first
+            # train step dies inside optax on `str * array`.
+            kwargs[k] = float(v)
+        elif t is int and isinstance(v, (str, float)):
+            if float(v) != int(float(v)):
+                raise ValueError(f"config key '{k}' expects an int, got {v!r}")
+            kwargs[k] = int(float(v))
         else:
             kwargs[k] = v
     return cls(**kwargs)

@@ -3,6 +3,7 @@ tiny model configs over the 8-device virtual mesh, and checkpoints
 round-trip with full state (params + optimizer + codebooks)."""
 
 import dataclasses
+from pathlib import Path
 
 import jax
 import jax.numpy as jnp
@@ -158,6 +159,27 @@ class TestConfig:
         assert jnp.zeros((1,), cfg.mdm.audio_dtype).dtype == jnp.bfloat16
         cfg = load_config(y, ["mdm.dtype=f32"])
         assert jnp.zeros((1,), cfg.mdm.dtype).dtype == jnp.float32
+
+    def test_yaml_numeric_strings_coerced(self, tmp_path):
+        # YAML 1.1 parses exponent-only literals as STRINGS ("5e-5"); the
+        # loader must coerce them to the annotated numeric type or the
+        # optimizer receives a str lr (caught driving the shipped YAML).
+        y = tmp_path / "c.yaml"
+        y.write_text("train:\n  lr: 5e-5\n  epochs: 2e3\n")
+        cfg = load_config(y, [])
+        assert cfg.train.lr == 5e-5 and isinstance(cfg.train.lr, float)
+        assert cfg.train.epochs == 2000 and isinstance(cfg.train.epochs, int)
+        y.write_text("train:\n  epochs: 2.5\n")
+        with pytest.raises(ValueError):
+            load_config(y)
+
+    def test_shipped_configs_numeric(self):
+        # every committed YAML must materialize with numeric lr/epochs
+        root = Path(__file__).resolve().parents[1]
+        for p in sorted((root / "configs").glob("*.yaml")):
+            cfg = load_config(p)
+            assert isinstance(cfg.train.lr, float), p.name
+            assert isinstance(cfg.train.epochs, int), p.name
 
     def test_unknown_key_rejected(self, tmp_path):
         y = tmp_path / "c.yaml"
