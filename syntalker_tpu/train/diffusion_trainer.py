@@ -126,17 +126,21 @@ def calibrate_latent_scale(
     return float(jnp.std(lat)) / target_std
 
 
-def make_latent_encoder(rvq_modules: dict, stats, *, latent_scale: float = 5.0):
-    """Build the pose->latent featurizer used by the diffusion data path.
+def make_latent_encoder_fn(modules: dict, stats, *, latent_scale: float = 5.0):
+    """Params-as-ARGS pose->latent featurizer core.
 
     Mirrors _load_data (diffusion_rvqvae_trainer.py:244-294): per-part rot6d
     normalization, frozen RVQ ``map2latent``, concat, ÷latent_scale.
 
-    Input: dict with per-part rot6d features (B, T, dim) **unnormalized**
-    and trans_v (B, T, 3). Output: (B, T/4, 1536) latent_in.
+    ``modules`` maps part name -> RVQVAE module (static); the returned
+    ``encode(params3, upper, hands, lower, trans_v)`` takes the per-part
+    param trees at CALL time. Hot jitted steps must use this form: closure-
+    captured params become HLO constants, and constant-heavy executables pay
+    a large per-dispatch cost on the tunneled runtime (70.5 ms vs 4.2 ms
+    per featurize at batch 128 — scripts/probe_featurize.py, round 4).
     """
 
-    def encode(upper, hands, lower, trans_v):
+    def encode(params3, upper, hands, lower, trans_v):
         u = stats.normalize_part(upper, "upper")
         h = stats.normalize_part(hands, "hands")
         l = stats.normalize_part(lower, "lower")
@@ -145,8 +149,28 @@ def make_latent_encoder(rvq_modules: dict, stats, *, latent_scale: float = 5.0):
         feats = {"upper": u, "hands": h, "lower": lower_in}
         lat = []
         for name in J.LATENT_SLICES:
-            module, params, _state = rvq_modules[name]
-            lat.append(module.apply({"params": params}, feats[name], method="map2latent"))
+            lat.append(
+                modules[name].apply(
+                    {"params": params3[name]}, feats[name], method="map2latent"
+                )
+            )
         return jnp.concatenate(lat, axis=-1) / latent_scale
+
+    return encode
+
+
+def make_latent_encoder(rvq_modules: dict, stats, *, latent_scale: float = 5.0):
+    """Closure form of :func:`make_latent_encoder_fn` for non-hot callers
+    (eval harness, smoke scripts): params bound at build time.
+
+    Input: per-part rot6d features (B, T, dim) **unnormalized** and trans_v
+    (B, T, 3). Output: (B, T/4, 1536) latent_in.
+    """
+    modules = {n: m for n, (m, _p, _q) in rvq_modules.items()}
+    params3 = {n: p for n, (_m, p, _q) in rvq_modules.items()}
+    core = make_latent_encoder_fn(modules, stats, latent_scale=latent_scale)
+
+    def encode(upper, hands, lower, trans_v):
+        return core(params3, upper, hands, lower, trans_v)
 
     return encode

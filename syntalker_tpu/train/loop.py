@@ -27,7 +27,7 @@ from syntalker_tpu.parallel.mesh import make_mesh, replicate, shard_batch
 from syntalker_tpu.train.diffusion_trainer import (
     DiffusionTrainConfig,
     make_diffusion_train_step,
-    make_latent_encoder,
+    make_latent_encoder_fn,
 )
 from syntalker_tpu.train.rvq_trainer import RVQLossConfig, make_rvq_train_step
 from syntalker_tpu.train import state as ts
@@ -40,18 +40,24 @@ def _make_indexed_step(raw_step, featurize, mesh):
     """Jitted step over a device-resident dataset: gather the batch by index
     on-device, constrain it onto the data axis, then run the normal step.
     The only per-step h2d is the int32 index vector (data/cache.py
-    DeviceDataset — the transfer-bound-loader fix)."""
+    DeviceDataset — the transfer-bound-loader fix).
+
+    ``frozen`` (the RVQ / auxiliary-encoder params featurize needs) is an
+    ARGUMENT, not a closure capture: closure-captured arrays are inlined as
+    HLO constants, and on the tunneled runtime constant-heavy executables
+    pay a large per-dispatch cost (measured: the in-jit featurize alone is
+    70.5 ms/call closed-over vs 4.2 ms as-args at batch 128)."""
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     data_sharding = NamedSharding(mesh, P("data"))
 
-    def indexed_step(state, arrays, idx):
+    def indexed_step(state, arrays, idx, frozen):
         batch = jax.tree.map(lambda a: a[idx], arrays)
         if mesh.shape["data"] > 1:
             batch = jax.lax.with_sharding_constraint(
                 batch, jax.tree.map(lambda _: data_sharding, batch)
             )
-        return raw_step(state, featurize(batch))
+        return raw_step(state, featurize(frozen, batch))
 
     return jax.jit(indexed_step)
 
@@ -166,15 +172,17 @@ class DiffusionTrainer:
                 else identity_h3d_stats()
             )
             masks = {p: part_mask_623(p) for p in J.LATENT_SLICES}
+            rvq_modules = {n: m for n, (m, _p, _q) in self.rvq.items()}
+            tmr_module = self.tmr_motion[0] if self.tmr_motion else None
 
-            def featurize(batch):
+            def featurize(frozen, batch):
                 x = h3d_stats.normalize(batch["h3d"])
                 lat = []
                 for name in J.LATENT_SLICES:
-                    module, params, _q = self.rvq[name]
                     lat.append(
-                        module.apply(
-                            {"params": params}, x[..., masks[name]], method="map2latent"
+                        rvq_modules[name].apply(
+                            {"params": frozen["rvq"][name]},
+                            x[..., masks[name]], method="map2latent",
                         )
                     )
                 latent_in = jnp.concatenate(lat, axis=-1) / cfg.latent_scale
@@ -185,26 +193,32 @@ class DiffusionTrainer:
                 }
                 if "prompt" in batch:
                     out["prompt"] = batch["prompt"]
-                elif self.tmr_motion is not None:
+                elif tmr_module is not None:
                     # self-supervised prompt channel: the frozen TMR motion
                     # embedding of the GT clip stands in for text at train
                     # time (h3d_diffusion_new_trainer.py:351-392)
-                    tmod, tparams = self.tmr_motion
-                    mu, _ = tmod.apply({"params": tparams}, x)
+                    mu, _ = tmr_module.apply({"params": frozen["tmr"]}, x)
                     out["prompt"] = jax.lax.stop_gradient(mu)
                 return out
 
+            self._frozen = {
+                "rvq": {n: p for n, (_m, p, _q) in self.rvq.items()},
+                **({"tmr": self.tmr_motion[1]} if self.tmr_motion else {}),
+            }
             self._batch_keys = ("h3d", "audio", "word")
         else:
-            encode_latent = make_latent_encoder(
-                self.rvq, self.stats, latent_scale=cfg.latent_scale
+            encode_latent = make_latent_encoder_fn(
+                {n: m for n, (m, _p, _q) in self.rvq.items()},
+                self.stats,
+                latent_scale=cfg.latent_scale,
             )
 
-            def featurize(batch):
+            def featurize(frozen, batch):
                 pose_aa = batch["pose"][..., : J.AXIS_ANGLE_DIM]
                 parts = pose_to_part_rot6d(pose_aa)
                 latent_in = encode_latent(
-                    parts["upper"], parts["hands"], parts["lower"], batch["trans_v"]
+                    frozen["rvq"], parts["upper"], parts["hands"],
+                    parts["lower"], batch["trans_v"],
                 )
                 return {
                     "latent_in": latent_in,
@@ -212,6 +226,7 @@ class DiffusionTrainer:
                     "word": batch["word"],
                 }
 
+            self._frozen = {"rvq": {n: p for n, (_m, p, _q) in self.rvq.items()}}
             self._batch_keys = ("pose", "trans_v", "audio", "word")
 
         raw_step = make_diffusion_train_step(
@@ -221,11 +236,20 @@ class DiffusionTrainer:
             DiffusionTrainConfig(cfg.pre_frames, cfg.latent_scale),
         )
 
-        def fused_step(state, batch):
-            return raw_step(state, featurize(batch))
+        def fused_step(state, frozen, batch):
+            return raw_step(state, featurize(frozen, batch))
 
-        self.step = jax.jit(fused_step)
-        self.step_indexed = _make_indexed_step(raw_step, featurize, self.mesh)
+        # the frozen featurizer params ride as ARGUMENTS through the jit
+        # boundary (device-put once, reused every step) — see
+        # _make_indexed_step's docstring for why closure capture is slow on
+        # the tunneled runtime.
+        self._frozen = jax.device_put(self._frozen)
+        jit_step = jax.jit(fused_step)
+        indexed = _make_indexed_step(raw_step, featurize, self.mesh)
+        self.step = lambda state, batch: jit_step(state, self._frozen, batch)
+        self.step_indexed = lambda state, arrays, idx: indexed(
+            state, arrays, idx, self._frozen
+        )
         self._dataset = None
         self.tracker = EpochTracker({"fid": False, "bc": True, "l1div": True})
 
@@ -343,13 +367,16 @@ class RVQTrainer:
             )
             mask = part_mask_623(part)
 
-            def featurize(batch):
+            # frozen is unused here (the RVQ params are the TRAINED state;
+            # the stats closed over are a few KB) but the signature matches
+            # _make_indexed_step's params-as-args contract
+            def featurize(_frozen, batch):
                 return h3d_stats.normalize(batch["h3d"])[..., mask]
 
             self._batch_keys = ("h3d",)
         else:
 
-            def featurize(batch):
+            def featurize(_frozen, batch):
                 pose_aa = batch["pose"][..., : J.AXIS_ANGLE_DIM]
                 parts = pose_to_part_rot6d(pose_aa)
                 x = stats_ref.normalize_part(parts[part], part)
@@ -367,10 +394,13 @@ class RVQTrainer:
         )
 
         def fused_step(state, batch):
-            return raw_step(state, featurize(batch))
+            return raw_step(state, featurize((), batch))
 
+        indexed = _make_indexed_step(raw_step, featurize, self.mesh)
         self.step = jax.jit(fused_step)
-        self.step_indexed = _make_indexed_step(raw_step, featurize, self.mesh)
+        self.step_indexed = lambda state, arrays, idx: indexed(
+            state, arrays, idx, ()
+        )
         self._dataset = None
         self.tracker = EpochTracker()
 
