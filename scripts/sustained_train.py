@@ -9,7 +9,12 @@ rerun restores the full train state (params + optimizer + batch_stats +
 step) from the latest orbax checkpoint and must continue the loss curve
 without a discontinuity (asserted from the per-step loss log).
 
-Outputs: outputs/sustained/report.json + docs/sustained_train_round4.md.
+The orchestrator arms the SIGKILL only after the child has written its
+first orbax checkpoint (plus a grace window), so the resumed run always
+has state to restore and the continuity assertion always has loss rows on
+both sides of the resume step.
+
+Outputs: outputs/sustained/report.json + docs/sustained_train_round5.md.
 
     python scripts/sustained_train.py                  # full run (~1-2 h)
     python scripts/sustained_train.py --quick          # minutes (CI-scale)
@@ -106,9 +111,17 @@ def stage_diff(args):
     steps_per_epoch = len(ds)
     log_path = OUT / "diff_loss.jsonl"
     step = start
-    t_wait = 0.0  # host-wait: index generation + dispatch (should be ~0)
+    # timing split (honest names): dispatch = async enqueue cost of the
+    # jitted step (host-side); sync = blocking device readbacks (absorbs
+    # the actual device execution backlog every 25 steps); host = the rest
+    # of the Python loop (index generation, logging, ckpt I/O).
+    t_dispatch = 0.0
+    t_sync = 0.0
     t_run0 = time.time()
     with open(log_path, "a") as logf, trainer.mesh:
+        if start > 0:
+            logf.write(json.dumps({"resume_marker": start}) + "\n")
+            logf.flush()
         ep = start // steps_per_epoch
         while step < args.steps:
             skip = step - ep * steps_per_epoch  # mid-epoch resume offset
@@ -118,10 +131,12 @@ def stage_diff(args):
                 t0 = time.time()
                 trainer.state, metrics = trainer.step_indexed(
                     trainer.state, ds.arrays, idx)
-                t_wait += time.time() - t0  # async dispatch cost only
+                t_dispatch += time.time() - t0
                 step += 1
                 if step % 25 == 0 or step == args.steps:
-                    loss = float(metrics["predict_x0_loss"])
+                    t0 = time.time()
+                    loss = float(metrics["predict_x0_loss"])  # blocks
+                    t_sync += time.time() - t0
                     row = {"step": step, "loss": loss,
                            "t": round(time.time() - t_run0, 1)}
                     logf.write(json.dumps(row) + "\n")
@@ -135,13 +150,16 @@ def stage_diff(args):
             ep += 1
     wall = time.time() - t_run0
     done = step - start
-    host = max(wall - t_wait, 0.0)  # time NOT spent in/waiting on the device
+    host = max(wall - t_dispatch - t_sync, 0.0)
     summary = {
         "resumed_from": start, "end_step": step, "wall_s": round(wall, 1),
         "dataset_upload_s": round(upload_s, 1),
         "s_per_step_incl_host": round(wall / max(done, 1), 4),
+        "dispatch_s_per_step": round(t_dispatch / max(done, 1), 4),
+        "device_sync_s_per_step": round(t_sync / max(done, 1), 4),
         "host_s_per_step": round(host / max(done, 1), 4),
-        "loader_utilization": round(1.0 - host / max(wall, 1e-9), 4),
+        "device_utilization_lower_bound": round(
+            (t_dispatch + t_sync) / max(wall, 1e-9), 4),
     }
     (OUT / f"diff_run_{start}.json").write_text(json.dumps(summary))
     print(json.dumps(summary))
@@ -208,29 +226,55 @@ def main(args):
              "--dtype", args.dtype, "--save-every", str(args.save_every)]
     log = open(OUT / "diff_child.log", "a")
     if not args.no_kill and not (OUT / "killed.marker").exists():
-        print(f"[orchestrator] launching diffusion; SIGKILL after "
-              f"{args.kill_after}s", flush=True)
+        from syntalker_tpu.train import state as ts
+
+        print(f"[orchestrator] launching diffusion; SIGKILL {args.kill_grace}s "
+              f"after the first checkpoint (max wait {args.kill_after}s)",
+              flush=True)
         proc = subprocess.Popen(child, stdout=log, stderr=subprocess.STDOUT)
-        time.sleep(args.kill_after)
-        proc.send_signal(signal.SIGKILL)  # by PID — never by pattern
+        # arm the kill only once a checkpoint exists to resume from — a
+        # fixed timer can land during compile/before the first save, which
+        # leaves the rerun nothing to restore (the round-4 failure mode)
+        t0 = time.time()
+        ckpt_seen = None
+        while time.time() - t0 < args.kill_after and proc.poll() is None:
+            ckpt_seen = ts.latest_checkpoint(str(OUT / "diff"))
+            if ckpt_seen:
+                break
+            time.sleep(5)
+        if proc.poll() is None and ckpt_seen:
+            time.sleep(args.kill_grace)  # let some post-ckpt steps land
+        if proc.poll() is None:
+            proc.send_signal(signal.SIGKILL)  # by PID — never by pattern
         proc.wait()
         (OUT / "killed.marker").write_text(str(time.time()))
-        report["killed_at_s"] = args.kill_after
+        report["killed_after_ckpt"] = str(ckpt_seen)
     print("[orchestrator] (re)launching diffusion to completion", flush=True)
     rc = subprocess.run(child, stdout=log, stderr=subprocess.STDOUT).returncode
     if rc != 0:
         raise RuntimeError(f"diffusion child failed rc={rc}")
 
     # ---- 4. loss-curve continuity across the kill ----
-    rows = [json.loads(ln) for ln in (OUT / "diff_loss.jsonl").read_text().splitlines()]
+    # the loss log is append-only across runs; the resumed child writes a
+    # {"resume_marker": step} line, which cleanly separates pre-kill rows
+    # from post-resume rows (the pre-kill run usually got past the ckpt
+    # step before dying, so step ranges alone would overlap)
+    lines = [json.loads(ln)
+             for ln in (OUT / "diff_loss.jsonl").read_text().splitlines()]
+    marker_i = max((i for i, r in enumerate(lines) if "resume_marker" in r),
+                   default=None)
     runs = sorted(OUT.glob("diff_run_*.json"),
                   key=lambda p: int(p.stem.split("_")[-1]))
-    resume_step = int(runs[-1].stem.split("_")[-1]) if len(runs) > 1 else None
+    resume_step = lines[marker_i]["resume_marker"] if marker_i is not None else None
     report["resume_step"] = resume_step
+    rows_pre = ([r for r in lines[:marker_i] if "step" in r]
+                if marker_i is not None else [])
+    rows_post = ([r for r in lines[marker_i + 1:] if "step" in r]
+                 if marker_i is not None else [r for r in lines if "step" in r])
     if resume_step:
-        before = [r["loss"] for r in rows
+        before = [r["loss"] for r in rows_pre
                   if resume_step - 500 <= r["step"] <= resume_step]
-        after = [r["loss"] for r in rows
+        after = [r["loss"] for r in rows_post
                  if resume_step < r["step"] <= resume_step + 500]
         if not before or not after:
             # kill landed during compile (no steps before the resume) or at
@@ -239,7 +283,7 @@ def main(args):
                                                f"of resume step {resume_step}"}
         else:
             mb, ma = float(np.mean(before)), float(np.mean(after))
-            sd = float(np.std([r["loss"] for r in rows
+            sd = float(np.std([r["loss"] for r in rows_pre
                                if resume_step - 1000 <= r["step"] <= resume_step]
                               or [0.1]))
             report["continuity"] = {
@@ -247,10 +291,10 @@ def main(args):
                 "window_std": sd, "ok": bool(ma <= mb + 3 * max(sd, 0.01)),
             }
             assert report["continuity"]["ok"], report["continuity"]
-    losses = [r["loss"] for r in rows]
+    losses = [r["loss"] for r in rows_pre + rows_post]
     report["diffusion"] = {
         "first_loss": losses[0], "last_loss": float(np.mean(losses[-10:])),
-        "total_steps": rows[-1]["step"],
+        "total_steps": rows_post[-1]["step"] if rows_post else None,
         **json.loads(runs[-1].read_text()),
     }
 
@@ -292,7 +336,10 @@ if __name__ == "__main__":
     ap.add_argument("--steps", type=int, default=None)
     ap.add_argument("--rvq-iters", type=int, default=None)
     ap.add_argument("--save-every", type=int, default=None)
-    ap.add_argument("--kill-after", type=float, default=None)
+    ap.add_argument("--kill-after", type=float, default=None,
+                    help="max seconds to wait for the first checkpoint")
+    ap.add_argument("--kill-grace", type=float, default=None,
+                    help="seconds to keep training past the first ckpt")
     ap.add_argument("--no-kill", action="store_true")
     args = ap.parse_args()
     if args.steps is None:
@@ -302,7 +349,9 @@ if __name__ == "__main__":
     if args.save_every is None:
         args.save_every = 100 if args.quick else 2000
     if args.kill_after is None:
-        args.kill_after = 120 if args.quick else 1500
+        args.kill_after = 300 if args.quick else 2400
+    if args.kill_grace is None:
+        args.kill_grace = 15 if args.quick else 60
     if args.stage == "diff":
         stage_diff(args)
     else:

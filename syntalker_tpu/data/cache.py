@@ -349,6 +349,21 @@ class PrefetchLoader:
         t.join()
 
 
+class DatasetTooLargeError(RuntimeError):
+    """Window cache exceeds per-device HBM even sharded over the data axis."""
+
+
+def _default_hbm_budget() -> int:
+    """40% of the backend's per-device bytes_limit (6 GiB fallback)."""
+    import jax
+
+    try:
+        limit = jax.devices()[0].memory_stats()["bytes_limit"]
+        return int(0.4 * limit)
+    except Exception:
+        return 6 * 2**30
+
+
 class DeviceDataset:
     """The entire window set resident in device memory; batches are gathered
     on-device by index instead of transferred per step.
@@ -371,33 +386,100 @@ class DeviceDataset:
 
     Stands in for the reference's LMDB + torch DataLoader worker pool
     (beat_sep_lower.py:86-130, train.py:54-61) on the training hot path.
+
+    **Corpus-larger-than-HBM policy** (three tiers, decided from measured
+    corpus bytes vs a per-device HBM budget):
+
+    1. ``replicated`` — corpus fits in one device's budget: every device
+       holds the full array set (the fast default; the on-device gather is
+       local).
+    2. ``data_sharded`` — corpus exceeds one device's budget but fits in
+       the data axis's *aggregate* budget: arrays are sharded over the
+       ``data`` mesh axis (per-chip footprint = nbytes / data_parallel) and
+       the in-jit gather lets GSPMD move only the indexed rows between
+       chips. Costs one collective gather per step but keeps the 42 MB/s
+       host link off the hot path.
+    3. too large even sharded — raises :class:`DatasetTooLargeError`; the
+       trainers catch it and fall back to the host ``BatchLoader`` stream
+       (`train/loop.py _epoch_batches`), whose measured cold-cache cost is
+       ~2.6x step starvation on a 1-core host (BASELINE.md) — correct, just
+       slow, like the reference's per-item LMDB reads
+       (beat_sep_lower.py:757-783).
+
+    The budget defaults to 40% of the backend's reported per-device
+    ``bytes_limit`` (leaving headroom for params/optimizer/activations),
+    or 6 GiB when the backend does not report one.
     """
 
     def __init__(self, cache: BeatCache, keys, batch_size: int, *,
-                 seed=0, shuffle=True, mesh=None):
+                 seed=0, shuffle=True, mesh=None, hbm_budget_bytes=None):
         import jax
 
         self.batch_size = batch_size
         self.seed = seed
         self.shuffle = shuffle
         self.n = len(cache)
-        samples = [cache.get(i) for i in range(self.n)]
+        if self.n == 0:
+            raise ValueError(
+                "DeviceDataset: the cache holds no windows (len(cache)==0); "
+                "check the split/speaker filters used to build it"
+            )
+        # fill one sample at a time into preallocated arrays — stacking a
+        # materialized sample list would transiently hold the corpus twice
+        # in host RAM
+        first = cache.get(0)
+        keys = [k for k in keys if k in first]
         host = {
-            k: np.stack([s[k] for s in samples])
+            k: np.empty((self.n,) + np.shape(first[k]),
+                        dtype=np.asarray(first[k]).dtype)
             for k in keys
-            if k in samples[0]
         }
-        del samples
+        for k in keys:
+            host[k][0] = first[k]
+        for i in range(1, self.n):
+            s = cache.get(i)
+            for k in keys:
+                host[k][i] = s[k]
         self.nbytes = sum(v.nbytes for v in host.values())
-        if mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec
 
-            sharding = NamedSharding(mesh, PartitionSpec())
-            self.arrays = {
-                k: jax.device_put(v, sharding) for k, v in host.items()
-            }
+        if hbm_budget_bytes is None:
+            hbm_budget_bytes = _default_hbm_budget()
+        self.hbm_budget_bytes = hbm_budget_bytes
+        n_data = mesh.shape.get("data", 1) if mesh is not None else 1
+
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        if self.nbytes <= hbm_budget_bytes:
+            self.placement = "replicated"
+            if mesh is not None:
+                sharding = NamedSharding(mesh, PartitionSpec())
+                self.arrays = {
+                    k: jax.device_put(v, sharding) for k, v in host.items()
+                }
+            else:
+                self.arrays = {k: jax.device_put(v) for k, v in host.items()}
+        elif mesh is not None and n_data > 1 and (
+                self.nbytes / n_data) <= hbm_budget_bytes:
+            self.placement = "data_sharded"
+            # pad the sample axis to a multiple of the data axis so the
+            # shards are even; pads duplicate early rows and are never
+            # indexed (epoch_indices only emits [0, n))
+            pad = (-self.n) % n_data
+            sharding = NamedSharding(mesh, PartitionSpec("data"))
+            self.arrays = {}
+            for k in list(host.keys()):
+                v = host.pop(k)
+                if pad:
+                    v = np.concatenate([v, v[:pad]], axis=0)
+                self.arrays[k] = jax.device_put(v, sharding)
         else:
-            self.arrays = {k: jax.device_put(v) for k, v in host.items()}
+            per_chip = self.nbytes / max(n_data, 1)
+            raise DatasetTooLargeError(
+                f"window cache is {self.nbytes / 2**30:.2f} GiB "
+                f"({per_chip / 2**30:.2f} GiB/chip sharded over data={n_data}) "
+                f"vs a {hbm_budget_bytes / 2**30:.2f} GiB per-device budget; "
+                "stream from the host instead (TrainConfig.device_data=False)"
+            )
 
     def __len__(self):
         return self.n // self.batch_size

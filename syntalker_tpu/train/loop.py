@@ -8,6 +8,7 @@ Python loop only moves host batches and records metrics.
 
 from __future__ import annotations
 
+import dataclasses
 import logging
 from pathlib import Path
 from typing import Dict, Optional
@@ -271,7 +272,10 @@ class DiffusionTrainer:
         return step
 
     def device_dataset(self):
-        """Lazily upload the whole cache to HBM (cfg.train.device_data)."""
+        """Lazily upload the whole cache to HBM (cfg.train.device_data).
+        Placement follows DeviceDataset's >HBM policy: replicated →
+        data-axis-sharded → DatasetTooLargeError (the caller falls back to
+        the host BatchLoader)."""
         if self._dataset is None:
             from syntalker_tpu.data.cache import DeviceDataset
 
@@ -281,23 +285,34 @@ class DiffusionTrainer:
             )
             log.info(
                 f"device-resident dataset: {self._dataset.n} windows, "
-                f"{self._dataset.nbytes / 1e9:.2f} GB uploaded once"
+                f"{self._dataset.nbytes / 1e9:.2f} GB uploaded once "
+                f"({self._dataset.placement})"
             )
         return self._dataset
 
     def _epoch_batches(self, epoch: int):
         """Yield step thunks: (run, is_device_resident)."""
         if self.cfg.train.device_data:
-            ds = self.device_dataset()
-            for idx in ds.epoch_indices(epoch):
-                yield lambda s, i=idx: self.step_indexed(s, ds.arrays, i)
-        else:
-            for batch in self.loader.epoch(epoch):
-                b = shard_batch(
-                    {k: batch[k] for k in self._batch_keys if k in batch},
-                    self.mesh,
+            from syntalker_tpu.data.cache import DatasetTooLargeError
+
+            try:
+                ds = self.device_dataset()
+            except DatasetTooLargeError as e:
+                log.warning(f"{e}; streaming batches from the host instead")
+                self.cfg = dataclasses.replace(
+                    self.cfg,
+                    train=dataclasses.replace(self.cfg.train, device_data=False),
                 )
-                yield lambda s, b=b: self.step(s, b)
+            else:
+                for idx in ds.epoch_indices(epoch):
+                    yield lambda s, i=idx: self.step_indexed(s, ds.arrays, i)
+                return
+        for batch in self.loader.epoch(epoch):
+            b = shard_batch(
+                {k: batch[k] for k in self._batch_keys if k in batch},
+                self.mesh,
+            )
+            yield lambda s, b=b: self.step(s, b)
 
     def train_epoch(self, epoch: int) -> Dict[str, float]:
         timer = StepTimer()
@@ -417,16 +432,26 @@ class RVQTrainer:
 
     def _epoch_batches(self, epoch: int):
         if self.cfg.train.device_data:
-            ds = self.device_dataset()
-            for idx in ds.epoch_indices(epoch):
-                yield lambda s, i=idx: self.step_indexed(s, ds.arrays, i)
-        else:
-            for batch in self.loader.epoch(epoch):
-                b = shard_batch(
-                    {k: batch[k] for k in self._batch_keys if k in batch},
-                    self.mesh,
+            from syntalker_tpu.data.cache import DatasetTooLargeError
+
+            try:
+                ds = self.device_dataset()
+            except DatasetTooLargeError as e:
+                log.warning(f"{e}; streaming batches from the host instead")
+                self.cfg = dataclasses.replace(
+                    self.cfg,
+                    train=dataclasses.replace(self.cfg.train, device_data=False),
                 )
-                yield lambda s, b=b: self.step(s, b)
+            else:
+                for idx in ds.epoch_indices(epoch):
+                    yield lambda s, i=idx: self.step_indexed(s, ds.arrays, i)
+                return
+        for batch in self.loader.epoch(epoch):
+            b = shard_batch(
+                {k: batch[k] for k in self._batch_keys if k in batch},
+                self.mesh,
+            )
+            yield lambda s, b=b: self.step(s, b)
 
     def train(self, total_iters: Optional[int] = None):
         total = total_iters or self.cfg.rvq_train.total_iters

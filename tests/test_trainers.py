@@ -138,6 +138,74 @@ class TestDiffusionTrainer:
         assert int(trainer.state.step) == len(trainer.device_dataset())
 
 
+class TestDeviceDatasetPlacement:
+    """The >HBM policy: replicated → data-axis-sharded → host fallback
+    (DeviceDataset docstring; VERDICT r4 #8)."""
+
+    def test_sharded_placement_matches_replicated(self, tiny_cache, tmp_path):
+        from syntalker_tpu.data.cache import DeviceDataset
+
+        cfg = tiny_config(tmp_path)
+        trainer = DiffusionTrainer(cfg, tiny_cache)
+        full = trainer.device_dataset()
+        assert full.placement == "replicated"
+        # budget between per-chip-sharded and full size forces tier 2;
+        # n=14 windows over data=4 also exercises the pad-to-even path
+        sharded = DeviceDataset(
+            trainer.loader.cache, trainer._batch_keys, cfg.train.batch_size,
+            seed=cfg.train.seed, mesh=trainer.mesh,
+            hbm_budget_bytes=full.nbytes // 2,
+        )
+        assert sharded.placement == "data_sharded"
+        assert sharded.n == full.n
+        idx = next(sharded.epoch_indices(0))
+        np.testing.assert_array_equal(idx, next(full.epoch_indices(0)))
+        with trainer.mesh:
+            _, m_full = trainer.step_indexed(trainer.state, full.arrays, idx)
+            _, m_shard = trainer.step_indexed(trainer.state, sharded.arrays, idx)
+        np.testing.assert_allclose(
+            float(m_full["predict_x0_loss"]),
+            float(m_shard["predict_x0_loss"]),
+            rtol=1e-5,
+        )
+
+    def test_too_large_raises(self, tiny_cache, tmp_path):
+        from syntalker_tpu.data.cache import DatasetTooLargeError, DeviceDataset
+
+        cfg = tiny_config(tmp_path)
+        trainer = DiffusionTrainer(cfg, tiny_cache)
+        with pytest.raises(DatasetTooLargeError):
+            DeviceDataset(
+                trainer.loader.cache, trainer._batch_keys,
+                cfg.train.batch_size, seed=0, mesh=trainer.mesh,
+                hbm_budget_bytes=1,
+            )
+
+    def test_overflow_falls_back_to_host_loader(self, tiny_cache, tmp_path,
+                                                monkeypatch):
+        import syntalker_tpu.data.cache as cache_mod
+
+        monkeypatch.setattr(cache_mod, "_default_hbm_budget", lambda: 1)
+        cfg = tiny_config(tmp_path)
+        cfg = dataclasses.replace(
+            cfg, train=dataclasses.replace(cfg.train, device_data=True)
+        )
+        trainer = DiffusionTrainer(cfg, tiny_cache)
+        metrics = trainer.train_epoch(0)
+        assert np.isfinite(metrics["train/predict_x0_loss"])
+        assert trainer.cfg.train.device_data is False  # policy flipped it
+        assert int(trainer.state.step) == len(trainer.loader)
+
+    def test_empty_cache_raises_valueerror(self, tmp_path):
+        from syntalker_tpu.data.cache import DeviceDataset
+
+        (tmp_path / "empty").mkdir()
+        empty = BeatCache(tmp_path / "empty")
+        empty.save_index()
+        with pytest.raises(ValueError, match="no windows"):
+            DeviceDataset(empty, ("pose",), 8)
+
+
 class TestConfig:
     def test_yaml_and_overrides(self, tmp_path):
         y = tmp_path / "c.yaml"
