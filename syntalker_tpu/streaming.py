@@ -74,6 +74,55 @@ class StreamStats:
     frames_emitted: int = 0
 
 
+def _value_fingerprint(*objs) -> str:
+    """16-byte blake2b digest over the *contents* of nested array trees.
+
+    AOT-serialized executables bake every closure-captured array (model
+    weights, RVQ decoder params, prompt/style vectors, stats, scales) in as
+    compiled constants — so the load-time compatibility check must compare
+    values, not just shapes, or a session built from a different checkpoint
+    would silently generate from the saver's stale weights."""
+    import hashlib
+    from collections.abc import Mapping
+
+    h = hashlib.blake2b(digest_size=16)
+
+    def upd(o):
+        if o is None:
+            h.update(b"\x00none")
+        elif isinstance(o, Mapping):
+            h.update(b"\x00map")
+            for k in sorted(o):
+                h.update(str(k).encode())
+                upd(o[k])
+        elif isinstance(o, (list, tuple)):
+            h.update(b"\x00seq")
+            for v in o:
+                upd(v)
+        elif dataclasses.is_dataclass(o) and not isinstance(o, type):
+            h.update(b"\x00dc")
+            for f in dataclasses.fields(o):
+                h.update(f.name.encode())
+                upd(getattr(o, f.name))
+        elif hasattr(o, "shape") or isinstance(o, (float, int, bool, np.number)):
+            arr = np.asarray(jax.device_get(o))
+            h.update(str((arr.shape, str(arr.dtype))).encode())
+            h.update(arr.tobytes())
+        else:
+            # registered pytrees (e.g. RVQState) flatten to array leaves;
+            # anything left is config-like and repr-hashable
+            leaves = jax.tree_util.tree_leaves(o)
+            if leaves and leaves[0] is not o:
+                h.update(b"\x00tree")
+                upd(leaves)
+            else:
+                h.update(repr(o).encode())
+
+    for o in objs:
+        upd(o)
+    return h.hexdigest()
+
+
 class StreamingMotionSession:
     """Incremental windowed generation with bounded, documented latency.
 
@@ -372,8 +421,20 @@ class StreamingMotionSession:
     # cold-start mitigation: ahead-of-time compiled executables
 
     def _aot_signature(self) -> dict:
-        """Everything the compiled programs' shapes/branches depend on."""
+        """Everything the compiled programs depend on: the shape/branch
+        config, plus a content fingerprint of every closure-captured value
+        the executables baked in as constants (weights, stats, prompts,
+        style, guidance scales, latent_scale)."""
         return {
+            "weights_fp": _value_fingerprint(
+                self.mdm_params,
+                {n: t[1:] for n, t in sorted(self.rvq_modules.items())},
+                self.stats,
+                self.latent_scale,
+                self.guidance,
+                self.prompts,
+                self.style,
+            ),
             "pose_length": self.pose_length,
             "pre_frames": self.pre_frames,
             "squeeze": self.squeeze,
@@ -420,9 +481,14 @@ class StreamingMotionSession:
 
     def load_compiled(self, directory) -> None:
         """Replace the jitted window programs with executables serialized by
-        :meth:`save_compiled`. Raises if the session configuration or device
-        topology differs from the one that saved them (executables are
-        shape- and topology-specific by construction)."""
+        :meth:`save_compiled`. Raises if the session configuration, the
+        captured weight/prompt/stats values (content-fingerprinted), or the
+        device topology differ from the session that saved them.
+
+        Security note: the ``.trees`` sidecar files are unpickled —
+        unpickling executes arbitrary code, so AOT directories must come
+        from a trusted source (treat them like the checkpoint files they
+        accompany)."""
         import json as _json
         import pickle
         from pathlib import Path

@@ -250,3 +250,25 @@ class TestAOTColdStart:
         other = _make_session(stack, lookahead=4)
         with pytest.raises(ValueError, match="don't match"):
             other.load_compiled(tmp_path / "aot")
+
+    def test_load_compiled_rejects_different_weights(self, stack, tmp_path):
+        """Executables bake the weights in as constants, so a session with
+        the same shapes but DIFFERENT parameter values must be refused —
+        otherwise it would silently generate from the saver's weights."""
+        mdm, params, diffusion, rvq = stack
+        saver = _make_session(stack)
+        saver.save_compiled(tmp_path / "aot")
+        bumped = jax.tree.map(lambda a: a + 1e-3, params)
+        other = StreamingMotionSession(
+            mdm=mdm, mdm_params=bumped, diffusion=diffusion, rvq_modules=rvq,
+            stats=identity_pose_stats(), rng=jax.random.PRNGKey(7),
+        )
+        with pytest.raises(ValueError, match="weights_fp"):
+            other.load_compiled(tmp_path / "aot")
+
+    def test_load_compiled_rejects_different_latent_scale(self, stack, tmp_path):
+        saver = _make_session(stack)
+        saver.save_compiled(tmp_path / "aot")
+        other = _make_session(stack, latent_scale=7.0)
+        with pytest.raises(ValueError, match="weights_fp"):
+            other.load_compiled(tmp_path / "aot")
