@@ -10,6 +10,14 @@ overhead amortizes across the batch.
 The reference has no serving story (its demo handles one request at a time
 through Gradio, demo.py:700-761); this is new surface enabled by the
 batch-parallel sampler design.
+
+Prompted requests (per-part text-prompt CFG + MotionCLIP style — the
+paper's headline control, cfg_sampler.py:57-117) are served too: the queue
+is bucketed by prompt *configuration* (which parts are prompted, guidance
+scales, style presence) and each bucket runs the batched-branch CFG sampler
+(`generation.sample_windows`) as one device dispatch, with the per-request
+prompt/style vectors riding as jit arguments. Unprompted requests keep the
+lean/fused fast path.
 """
 
 from __future__ import annotations
@@ -36,6 +44,15 @@ class MotionRequest:
     audio: np.ndarray  # (S,) 16 kHz waveform
     words: Optional[np.ndarray] = None  # (F,) frame word ids
     request_id: str = ""
+    # the paper's control surface (reference diffusion/cfg_sampler.py:57-117
+    # x test_h3d.py:196-246): per-body-part text-prompt embeddings, guidance
+    # scales, MotionCLIP style. Prompt VECTORS may differ per request; the
+    # service buckets requests by prompt *configuration* (which parts are
+    # prompted + the scales + style presence) so each bucket reuses one
+    # compiled executable.
+    prompts: Optional[Dict[str, np.ndarray]] = None  # part -> (P,)
+    guidance: Optional[dict] = None  # audio_scale / prompt_scale
+    style: Optional[np.ndarray] = None  # (style_dim,)
 
 
 @dataclasses.dataclass
@@ -94,6 +111,9 @@ class MotionGenerationService:
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
         self._rng = jax.random.PRNGKey(0)
+        # one compiled executable per prompt configuration (which parts are
+        # prompted, guidance scales, style presence) — see _bucket_key
+        self._prompted_jits: Dict[tuple, callable] = {}
         # donate the window inputs: the audio-feature stack is the largest
         # HBM buffer in the serving path (W x B x S x 2 f32 ≈ 0.5 GB at
         # batch 64) and is consumed once by encode_cond — donation lets XLA
@@ -213,6 +233,69 @@ class MotionGenerationService:
         latents = self._fused_sampler(aw, ww, seed, key)
         return self._jitted_decode(latents)
 
+    # ------------------------------------------------------------------
+    # prompted path (per-part CFG / style — the paper's control surface)
+
+    @staticmethod
+    def _bucket_key(req: MotionRequest):
+        """None for the plain audio path (lean/fused sampler); otherwise the
+        static configuration a compiled prompted program depends on."""
+        if req.prompts is None and req.style is None:
+            return None
+        g = req.guidance or {}
+        parts = tuple(sorted(
+            k for k, v in (req.prompts or {}).items() if v is not None
+        ))
+        return (
+            parts,
+            float(g.get("audio_scale", 1.0)),
+            float(g.get("prompt_scale", 4.0)),
+            req.style is not None,
+        )
+
+    def _prompted_jit(self, key_cfg):
+        """Build (once) the jitted prompted program for one bucket. Prompt
+        and style values ride as jit ARGUMENTS (per-request data — and
+        closure-captured arrays poison dispatch cost, CLAUDE.md r4)."""
+        if key_cfg in self._prompted_jits:
+            return self._prompted_jits[key_cfg]
+        parts, audio_scale, prompt_scale, has_style = key_cfg
+        if parts and not self.mdm.cfg.use_prompt:
+            raise ValueError(
+                "prompted requests need an MDM with use_prompt=True"
+            )
+
+        def gen(aw, ww, seed, key, prompts, style):
+            latents = G.sample_windows(
+                self.mdm, self.mdm_params, self.diffusion, self.plan,
+                aw, ww, seed, key, sampler="ddim",
+                prompts=prompts if parts else None,
+                guidance={"audio_scale": audio_scale,
+                          "prompt_scale": prompt_scale},
+                style=style,
+            )
+            return self._decode(latents)
+
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            def ns(*spec):
+                return NamedSharding(self.mesh, PartitionSpec(*spec))
+
+            jitted = jax.jit(
+                gen,
+                in_shardings=(
+                    ns(None, "data"), ns(None, "data"), ns("data"), ns(),
+                    {p: ns("data") for p in parts},
+                    ns("data") if has_style else None,
+                ),
+                out_shardings=(ns("data"), ns("data")),
+            )
+        else:
+            jitted = jax.jit(gen)
+        self._prompted_jits[key_cfg] = jitted
+        return jitted
+
     def _prepare(self, req: MotionRequest):
         y = np.zeros(self.samples, np.float32)
         n = min(len(req.audio), self.samples)
@@ -233,12 +316,25 @@ class MotionGenerationService:
         return done
 
     def flush(self) -> List[MotionResult]:
-        """Run up to max_batch queued requests as one device batch."""
+        """Run up to max_batch queued requests. Plain audio requests go as
+        one device batch through the lean/fused sampler; prompted/styled
+        requests are grouped by prompt configuration and each group runs as
+        its own batch through the CFG sampler (one dispatch per distinct
+        configuration present — prompt vectors within a group differ freely)."""
         with self._lock:
             batch = self._queue[: self.max_batch]
             self._queue = self._queue[self.max_batch :]
         if not batch:
             return []
+        groups: Dict[Optional[tuple], list] = {}
+        for item in batch:
+            groups.setdefault(self._bucket_key(item[0]), []).append(item)
+        out = []
+        for key_cfg, items in groups.items():
+            out.extend(self._run_group(key_cfg, items))
+        return out
+
+    def _run_group(self, key_cfg, batch) -> List[MotionResult]:
         b = len(batch)
         feats, words = zip(*(self._prepare(r) for r, _, _ in batch))
         audio = np.stack(feats)  # (b, S, 2)
@@ -258,7 +354,28 @@ class MotionGenerationService:
         ww = jnp.asarray(G.window_words(word, self.plan))
         seed = jnp.zeros((self.max_batch, self.plan.pre_frames, J.LATENT_DIM))
         self._rng, key = jax.random.split(self._rng)
-        aa, trans = jax.device_get(self._jitted(aw, ww, seed, key))
+        if key_cfg is None:
+            aa, trans = jax.device_get(self._jitted(aw, ww, seed, key))
+        else:
+            parts, _, _, has_style = key_cfg
+            prompts = {
+                p: np.stack(
+                    [np.asarray(r.prompts[p], np.float32) for r, _, _ in batch]
+                    + [np.zeros_like(np.asarray(batch[0][0].prompts[p],
+                                                np.float32))] * pad
+                )
+                for p in parts
+            }
+            style = None
+            if has_style:
+                style = np.stack(
+                    [np.asarray(r.style, np.float32) for r, _, _ in batch]
+                    + [np.zeros_like(np.asarray(batch[0][0].style,
+                                                np.float32))] * pad
+                )
+            aa, trans = jax.device_get(
+                self._prompted_jit(key_cfg)(aw, ww, seed, key, prompts, style)
+            )
 
         out = []
         now = time.perf_counter()
