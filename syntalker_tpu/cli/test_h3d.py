@@ -32,6 +32,7 @@ from syntalker_tpu.diffusion.schedule import make_diffusion
 from syntalker_tpu.eval import t2m
 from syntalker_tpu.eval.harness_h3d import H3DEvaluator
 from syntalker_tpu.models.denoiser import create_mdm, migrate_qkv_kernels
+from syntalker_tpu.models.tmr import load_text_pipeline
 from syntalker_tpu.train import state as ts
 from syntalker_tpu.train.loop import load_rvq_stack
 
@@ -42,6 +43,10 @@ def main(argv=None):
     p = base_parser(__doc__)
     p.add_argument("--oracle", type=str, default="",
                    help="path to a bigru oracle npz (default: the committed artifact)")
+    p.add_argument("--tmr", type=str, default="",
+                   help="TMR artifact npz for the prompt text pipeline "
+                        "(default: weights/t2m_oracle/tmr.npz when present; "
+                        "'none' forces the untrained fallback)")
     p.add_argument("--replications", type=int, default=20)
     p.add_argument("--max-clips", type=int, default=None)
     p.add_argument("--mm-repeats", type=int, default=0)
@@ -83,12 +88,25 @@ def main(argv=None):
     )
 
     oracle = t2m.T2MEvaluator.from_artifact(args.oracle or None)
+    # prompt text pipeline: the TRAINED TMR text head (same align space the
+    # prompt channel was trained against) — a fresh TextPipeline() would
+    # embed prompts with random weights and void the steering measurement
+    text_pipeline = None
+    if args.tmr != "none":
+        tmr_path = Path(args.tmr) if args.tmr else (
+            Path(__file__).resolve().parents[2] / "weights/t2m_oracle/tmr.npz")
+        if tmr_path.exists():
+            text_pipeline = load_text_pipeline(tmr_path)
+            log.info(f"prompt text pipeline: {tmr_path}")
+        elif args.tmr:
+            raise FileNotFoundError(tmr_path)
     evaluator = H3DEvaluator(
         mdm=mdm,
         mdm_params=mdm_params,
         diffusion=diffusion,
         rvq_modules=rvq,
         h3d_stats=h3d_stats,
+        text_pipeline=text_pipeline,
         t2m_evaluator=oracle,
         pose_length=cfg.data.pose_length,
         pre_frames=cfg.pre_frames,

@@ -251,3 +251,39 @@ def make_tmr_train_step(text_head: DistilbertTextEncoder, motion_enc: ActorAgnos
         return params, opt_state, metrics
 
     return step
+
+
+def load_tmr_artifact(path, *, window: int = 96):
+    """Load a committed TMR artifact (scripts/train_t2m_oracle.py:
+    ``tmr.npz`` + ``tmr.json`` sidecar) into (cfg, {'text','motion'} params).
+
+    The artifact is the self-hosted stand-in for the reference's pretrained
+    TMR checkpoint (models/temos/, h3d_diffusion_new_trainer.py:351-392):
+    its motion side feeds the training-time prompt channel, its text side
+    embeds eval prompts — both must come from the SAME artifact or the
+    align space is meaningless."""
+    import json as _json
+    from pathlib import Path as _P
+
+    from syntalker_tpu.eval.t2m import load_oracle_params
+
+    p = _P(path)
+    meta = _json.loads(p.with_suffix(".json").read_text())
+    cfg = TMRConfig(**meta.get("config", {}))
+    text = DistilbertTextEncoder(cfg)
+    motion = ActorAgnosticEncoder(cfg, input_dim=cfg.motion_feats)
+    rng = jax.random.PRNGKey(0)
+    template = {
+        "text": text.init(rng, jnp.zeros((1, 12, cfg.text_feats)),
+                          jnp.ones((1, 12)))["params"],
+        "motion": motion.init(rng, jnp.zeros((1, window, cfg.motion_feats)))[
+            "params"],
+    }
+    return cfg, load_oracle_params(p, template)
+
+
+def load_text_pipeline(path, *, backbone_path: str = "") -> "TextPipeline":
+    """TextPipeline with the trained head from a TMR artifact."""
+    cfg, params = load_tmr_artifact(path)
+    return TextPipeline(cfg, backbone_path=backbone_path,
+                        head_params=params["text"])
