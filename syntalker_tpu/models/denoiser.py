@@ -214,8 +214,17 @@ class AudioBasicBlock(nn.Module):
     pack: bool = True
 
     def _conv_s1(self, x, name, train):
-        """Stride-1 'same' k=15 conv — packed when lane-fill-bound."""
-        if self.pack and 2 * self.channels <= 128:
+        """Stride-1 'same' k=15 conv — packed when lane-fill-bound.
+
+        With ``norm='batch'`` the packed form is FORCED: XLA's lowering of
+        the plain stride-1 conv followed by a train-mode BatchNorm is
+        pathological on TPU — measured 528 ms vs 8.6 ms packed for the
+        full WavEncoder forward at batch 128 (scripts/probe_bn4.py, round
+        5; every other pack x norm cell is 5-9 ms). The packed conv is
+        exact (zero-wedge kernel, no cross-terms) and its param tree is
+        byte-identical, so this costs nothing and un-cliffs every shipped
+        training config (they default to audio_norm='batch')."""
+        if (self.pack or self.norm == "batch") and 2 * self.channels <= 128:
             k, b = _ConvP(15, x.shape[-1], self.channels, name=name)()
             return _pair_packed_conv1d(x.astype(self.dtype), k, b,
                                        dtype=self.dtype)
