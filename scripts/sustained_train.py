@@ -247,8 +247,13 @@ def main(args):
         if proc.poll() is None:
             proc.send_signal(signal.SIGKILL)  # by PID — never by pattern
         proc.wait()
-        (OUT / "killed.marker").write_text(str(time.time()))
+        (OUT / "killed.marker").write_text(
+            f"killed after ckpt {ckpt_seen} at {time.time()}")
         report["killed_after_ckpt"] = str(ckpt_seen)
+    elif (OUT / "killed.marker").exists():
+        # the kill already happened (possibly in a prior orchestrator run
+        # that crashed before the relaunch) — carry its record forward
+        report["killed_after_ckpt"] = (OUT / "killed.marker").read_text().strip()
     print("[orchestrator] (re)launching diffusion to completion", flush=True)
     rc = subprocess.run(child, stdout=log, stderr=subprocess.STDOUT).returncode
     if rc != 0:

@@ -120,12 +120,25 @@ def load_model_variables(ckpt_path: str | Path) -> dict:
 
 
 def latest_checkpoint(ckpt_dir: str | Path) -> Optional[Path]:
+    """Newest complete ``step_<N>`` checkpoint dir, or None.
+
+    Skips names whose step doesn't parse as an int — in particular orbax's
+    in-progress ``step_<N>.orbax-checkpoint-tmp-*`` dirs, which exist while a
+    save is being written and must never be offered for resume (a poller that
+    races a save would otherwise crash or restore a half-written state).
+    """
     d = Path(ckpt_dir)
     if not d.exists():
         return None
-    steps = sorted(
-        (int(p.name.split("_")[1]), p) for p in d.glob("step_*") if p.is_dir()
-    )
+    steps = []
+    for p in d.glob("step_*"):
+        if not p.is_dir():
+            continue
+        try:
+            steps.append((int(p.name.split("_")[1]), p))
+        except ValueError:
+            continue  # in-flight orbax tmp dir or foreign name
+    steps.sort()
     return steps[-1][1] if steps else None
 
 

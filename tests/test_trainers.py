@@ -67,6 +67,19 @@ def tiny_config(tmp_path) -> ExperimentConfig:
     )
 
 
+def test_latest_checkpoint_skips_inflight_orbax_tmp(tmp_path):
+    """An in-progress orbax save dir (step_N.orbax-checkpoint-tmp-*) must be
+    invisible to resume pollers — it crashed the sustained orchestrator when
+    its name hit int() (round-5 fix in train/state.py latest_checkpoint)."""
+    for name in ("step_100", "step_2000",
+                 "step_4000.orbax-checkpoint-tmp-1787", "not_a_step"):
+        (tmp_path / name).mkdir()
+    (tmp_path / "step_9999").write_text("a file, not a ckpt dir")
+    found = ts.latest_checkpoint(tmp_path)
+    assert found is not None and found.name == "step_2000"
+    assert ts.latest_checkpoint(tmp_path / "missing") is None
+
+
 class TestRVQTrainer:
     def test_runs_and_checkpoints(self, tiny_cache, tmp_path):
         cfg = tiny_config(tmp_path)
