@@ -130,6 +130,52 @@ def main():
     wall = statistics.median(times)
     assert all(map(lambda a: np.isfinite(a).all(), out)), "non-finite output"
 
+    # ---- slope-timed e2e variant (VERDICT r4 #2): an 8-window clip of the
+    # same program family splits the per-window device cost (the slope
+    # between the 16- and 8-window walls) from the fixed overhead (dispatch
+    # + relay round trips + readback), which the single-point median cannot
+    # do — the r4 291x-vs-366x "regression" question is exactly whether
+    # device work grew or the tunnel was slow that day. Slope numbers are
+    # robust to the tunnel's fixed costs by construction.
+    slope = {}
+    try:
+        n8 = plan.pre_frames + 8 * (plan.pose_length - plan.pre_frames)
+        plan8 = G.plan_windows(n8, pose_length=plan.pose_length,
+                               pre_frames=plan.pre_frames)
+        assert plan8.num_windows == 8, plan8.num_windows
+        audio8 = audio[:, : 533 * plan8.n_frames]
+        aw8 = jnp.asarray(G.window_audio(audio8, plan8))
+        ww8 = jnp.asarray(G.window_words(words[:, : plan8.n_frames], plan8))
+
+        def e2e8(aw, ww, seed0, key):
+            latents = G.sample_windows_lean(
+                mdm, mdm_params, diffusion, plan8, aw, ww, seed0, key
+            )
+            out = G.decode_latents(latents, rvq_modules=rvq_modules, stats=stats)
+            return out["axis_angle"], out["trans"]
+
+        e2e8_c = jax.jit(e2e8)
+        jax.device_get(e2e8_c(aw8, ww8, seed0, jax.random.PRNGKey(1)))  # warm
+        t8 = []
+        for i in range(5):
+            t0 = time.perf_counter()
+            jax.device_get(e2e8_c(aw8, ww8, seed0, jax.random.PRNGKey(2 + i)))
+            t8.append(time.perf_counter() - t0)
+        wall8 = statistics.median(t8)
+        per_window_s = (wall - wall8) / (plan.num_windows - plan8.num_windows)
+        fixed_s = wall - plan.num_windows * per_window_s
+        slope = {
+            "e2e_wall8_s_median5": round(wall8, 4),
+            "e2e_window_ms_slope": round(per_window_s * 1e3, 3),
+            "e2e_fixed_overhead_s": round(fixed_s, 4),
+            "realtime_slope": round(
+                motion_seconds / (plan.num_windows * per_window_s), 1
+            ),
+        }
+    except Exception as e:
+        print(f"# e2e slope probe failed: {type(e).__name__}: {e}",
+              file=sys.stderr)
+
     # host-sync + readback overhead. Two parts on the tunneled backend:
     # (a) the relay round-trip latency (~25-30 ms, measured on a 4-byte
     # fetch), and (b) TRANSFER of the actual outputs — the (T, 165) f32
@@ -258,7 +304,10 @@ def main():
             np.abs(fused_out - xla_ref).max() / (np.abs(xla_ref).max() + 1e-9)
         )
         serving["fused_parity_err"] = round(parity_err, 5)
-        serving["fused_parity_ok"] = bool(parity_err < 5e-2)
+        # tolerance tightened 5e-2 -> 2e-2 (VERDICT r4 #7): measured err is
+        # ~6e-3 (bf16 weight storage + tanh-GELU), so 2e-2 still gives 3x
+        # headroom while catching drift the old gate would have hidden 9x.
+        serving["fused_parity_ok"] = bool(parity_err < 2e-2)
         if not serving["fused_parity_ok"]:
             # a diverged kernel's perf numbers are meaningless — withhold
             # them so the regression is loud in BENCH_rN, but keep the
@@ -277,6 +326,30 @@ def main():
                 loop_flops / fused_wall / V5E_PEAK_FLOPS, 4
             ),
         })
+
+        # On-chip parity for the shard_map-composed mesh path (VERDICT r4
+        # #7): the production multi-chip serving form wraps the SAME kernel
+        # in shard_map over the data axis — previously parity-tested only on
+        # the virtual CPU mesh. A 1-device mesh on the real chip exercises
+        # the actual Mosaic lowering under shard_map (the composition that
+        # could diverge: spec plumbing, replicated-weight closure, jit of
+        # the sharded callable).
+        from jax.sharding import Mesh
+
+        mesh1 = Mesh(np.asarray(jax.devices()[:1]).reshape(1), ("data",))
+        fused_mesh = make_fused_ddim_window(
+            mdm_cfg, mdm_params, diffusion, tile_samples=32, mesh=mesh1
+        )
+        mesh_out = jax.device_get(fused_mesh(x0, cond))
+        mesh_err = float(
+            np.abs(mesh_out - xla_ref).max() / (np.abs(xla_ref).max() + 1e-9)
+        )
+        serving["fused_mesh_parity_err"] = round(mesh_err, 5)
+        serving["fused_mesh_parity_ok"] = bool(mesh_err < 2e-2)
+        if not serving["fused_mesh_parity_ok"]:
+            raise AssertionError(
+                f"shard_map fused kernel diverged from XLA: {mesh_err}"
+            )
     except Exception as e:  # never lose the headline metric to the probe
         print(f"# serving MFU probe failed: {type(e).__name__}: {e}", file=sys.stderr)
 
@@ -322,6 +395,9 @@ def main():
         "unit": "x_realtime(ddim50,128f-windows)",
         "vs_baseline": round(realtime / baseline_realtime, 2),
         "wall_s_median5": round(wall, 4),
+        "wall_s_min": round(min(times), 4),
+        "wall_s_max": round(max(times), 4),
+        **slope,
         "host_sync_s": round(sync_s, 4),
         "host_fetch_s": round(fetch_s, 4),
         "device_s": round(device_s, 4),
