@@ -122,7 +122,10 @@ def main():
         for part in ("upper", "hands", "lower"):
             cfg = ExperimentConfig(
                 **base,
-                train=TrainConfig(batch_size=128,
+                # device_data: the h3d batch is ~40 MB; streaming it per
+                # step through the ~30 MB/s relay costs >1 s/iter. The
+                # whole 252-window cache is 80 MB — one upload.
+                train=TrainConfig(batch_size=128, device_data=True,
                                   ckpt_dir=str(OUT / f"rvq_{part}")),
                 rvq_train=RVQTrainConfig(batch_size=128, body_part=part,
                                          save_every=10**9),
