@@ -102,7 +102,11 @@ def bench_norm(norm: str, b: int, patch_fast: bool = False):
                 return jnp.sum(c.at_feat * probe) + jnp.sum(c.seed_emb), upd
 
             gr, upd = jax.grad(loss, has_aux=True)(p)
-            return gr
+            # chain update INSIDE the jit: an eager tree.map between
+            # dispatches costs one tunnel op per leaf per iteration and
+            # inflates the slope ~2x (see probe_train_breakdown.py).
+            return jax.tree.map(
+                lambda a, d: a + 1e-20 * d.astype(a.dtype), p, gr)
 
         at = mdm.apply({"params": p0, **bstats}, audio, word, seed,
                        method="encode_cond").at_feat
@@ -112,9 +116,7 @@ def bench_norm(norm: str, b: int, patch_fast: bool = False):
         def run(n):
             p = p0
             for _ in range(n):
-                gr = enc_fb(p, audio, word, seed, probe)
-                p = jax.tree.map(
-                    lambda a, d: a + 1e-20 * d.astype(a.dtype), p, gr)
+                p = enc_fb(p, audio, word, seed, probe)
             jax.device_get(jax.tree.leaves(p)[0].ravel()[0])
 
         return slope(run)

@@ -6,7 +6,7 @@ Decomposes the bf16/f32 step at the swept batch knee into:
   - per-WavEncoder-block forward+backward at the true activation shapes,
 all by chained-slope timing (the only honest per-step method through the
 tunnel — CLAUDE.md). The residual (step − encode − denoise) is the loss
-glue + optimizer update. Output feeds docs/train_roofline_round4.md.
+glue + optimizer update. Output feeds docs/train_roofline_round5.md.
 
 Run: python scripts/probe_train_breakdown.py [batch] [dtype]
 """
@@ -77,13 +77,20 @@ def main(b=128, dtype="bf16"):
     seed = jax.device_put(g.normal(size=(b, 4, 1536)).astype(np.float32))
 
     # ---- encode_cond fwd+bwd ----------------------------------------------
+    # NOTE (round 5): the grad call and the chaining param update MUST live
+    # in ONE jitted function — an eager tree.map between dispatches costs
+    # one tunnel op per param leaf per iteration and inflated every
+    # component row by ~2x (full-step 34 ms vs components summing to 72).
     @jax.jit
     def enc_fb(params, audio, word, seed, probe):
         def loss(p):
             c = mdm.apply({"params": p}, audio, word, seed, method="encode_cond")
             return jnp.sum(c.at_feat * probe) + jnp.sum(c.seed_emb)
 
-        return jax.grad(loss)(params)
+        gr = jax.grad(loss)(params)
+        # data-dependence so iterations chain (tiny f32 * 1e-20)
+        return jax.tree.map(lambda a, d: a + 1e-20 * d.astype(a.dtype),
+                            params, gr)
 
     at_shape = mdm.apply(
         {"params": params}, audio, word, seed, method="encode_cond"
@@ -93,9 +100,7 @@ def main(b=128, dtype="bf16"):
     def run_enc(n):
         p = params
         for _ in range(n):
-            gr = enc_fb(p, audio, word, seed, probe)
-            # data-dependence so iterations chain (tiny f32 * 1e-20)
-            p = jax.tree.map(lambda a, d: a + 1e-20 * d.astype(a.dtype), p, gr)
+            p = enc_fb(p, audio, word, seed, probe)
         jax.device_get(jax.tree.leaves(p)[0].ravel()[0])
 
     res["encode_fb_ms"] = round(slope(run_enc) * 1e3, 2)
@@ -112,15 +117,16 @@ def main(b=128, dtype="bf16"):
             out = mdm.apply({"params": p}, x_t, t, cond, method="denoise")
             return jnp.sum(out * probe)
 
-        return jax.grad(loss)(params)
+        gr = jax.grad(loss)(params)
+        return jax.tree.map(lambda a, d: a + 1e-20 * d.astype(a.dtype),
+                            params, gr)
 
     probe_d = jax.device_put(g.normal(size=(b, 32, 1536)).astype(np.float32))
 
     def run_den(n):
         p = params
         for _ in range(n):
-            gr = den_fb(p, x_t, t, cond, probe_d)
-            p = jax.tree.map(lambda a, d: a + 1e-20 * d.astype(a.dtype), p, gr)
+            p = den_fb(p, x_t, t, cond, probe_d)
         jax.device_get(jax.tree.leaves(p)[0].ravel()[0])
 
     res["denoise_fb_ms"] = round(slope(run_den) * 1e3, 2)
@@ -148,7 +154,9 @@ def main(b=128, dtype="bf16"):
             def loss(q):
                 return jnp.sum(blk.apply(q, x) * pr)
 
-            return jax.grad(loss)(bp)
+            gr = jax.grad(loss)(bp)
+            return jax.tree.map(lambda a, d: a + 1e-20 * d.astype(a.dtype),
+                                bp, gr)
 
         y = blk.apply(bp, x)
         pr = jax.device_put(g.normal(size=y.shape).astype(np.float32))
@@ -156,8 +164,7 @@ def main(b=128, dtype="bf16"):
         def run_blk(n, bp=bp, x=x, pr=pr, blk_fb=blk_fb):
             q = bp
             for _ in range(n):
-                gr = blk_fb(q, x, pr)
-                q = jax.tree.map(lambda a, d: a + 1e-20 * d.astype(a.dtype), q, gr)
+                q = blk_fb(q, x, pr)
             jax.device_get(jax.tree.leaves(q)[0].ravel()[0])
 
         res[f"{name}_fb_ms"] = round(slope(run_blk) * 1e3, 2)
